@@ -1,0 +1,389 @@
+"""Typed simulation parameters + ``.cfg`` loader.
+
+TPU-native re-design of the reference's config/flag system
+(/root/reference/main.cpp:594-816 ``setParam`` and the defaults at
+main.cpp:833-911).  Differences from the reference, on purpose:
+
+* Exact key matching instead of ``strncmp`` prefix matching.  The reference's
+  prefix matching makes ``constraint`` shadow ``constraint_contraction``
+  (main.cpp:725-733) and the ``config`` key can never change value because the
+  comparison reads the key instead of the value (main.cpp:794-809).  Both are
+  latent bugs we do not replicate.
+* Lines shorter than 4 characters are *not* skipped (the reference skips them
+  at main.cpp:923-924, which silently makes ``Nx`` unsettable).  Only blank
+  lines and ``#`` comments are skipped.
+* Everything is a frozen, hashable dataclass so it can be passed to jitted
+  functions as a static argument: obstacle lists are tuples, enums are
+  ``IntEnum``.  XLA bakes the constants into the compiled program, which is
+  what you want for a fixed scenario.
+
+All parameter names and defaults match the reference so the five shipped
+``examples/*.cfg`` scenarios load unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Tuple
+
+
+class Config(enum.IntEnum):
+    """Initial swarm layout (reference: particlebot_kernel.cuh:30-40)."""
+
+    RANDOM = 0
+    GRID = 1
+    BLOB = 2
+    BLOB_UPLEFT = 3
+    HEX = 4
+    LINE = 5
+    LIGHTTEST_7 = 6
+
+
+class Control(enum.IntEnum):
+    """Actuation controller (reference: particlebot_kernel.cuh:52-55)."""
+
+    LIGHT_WAVE = 0
+
+
+class ForceBackend(enum.IntEnum):
+    """Which neighbor-force implementation the engine uses.
+
+    DENSE     masked O(N^2) pairwise forces — exact, best for <= ~4k bots.
+    CELLGRID  wrapped fixed-capacity cell table, 3x3 neighborhood — scales to
+              10k+ bots (TPU analogue of the reference's uniform grid at
+              particlebot_kernel_impl.cuh:445-538, rebuilt every step instead
+              of the reference's stale-sort scheme).
+    AUTO      pick per scenario size.
+    """
+
+    AUTO = 0
+    DENSE = 1
+    CELLGRID = 2
+
+
+_CONFIG_NAMES = {
+    "CONFIG_RANDOM": Config.RANDOM,
+    "CONFIG_GRID": Config.GRID,
+    "CONFIG_BLOB": Config.BLOB,
+    "CONFIG_BLOB_UPLEFT": Config.BLOB_UPLEFT,
+    "CONFIG_HEX": Config.HEX,
+    "CONFIG_LINE": Config.LINE,
+    "CONFIG_LIGHTTEST_7": Config.LIGHTTEST_7,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class SimParams:
+    """All simulation parameters (reference: particlebot_kernel.cuh:58-120
+    plus the app-level knobs owned by main.cpp).
+
+    Frozen + hashable: safe to close over in ``jax.jit`` as a static arg.
+    Defaults replicate main.cpp:833-911.
+    """
+
+    # --- swarm ------------------------------------------------------------
+    n_cells: int = 501
+    n_dead: int = -1          # -1 => last bot is a transported payload object
+    seed: int = 0
+    config: Config = Config.RANDOM
+    control: Control = Control.LIGHT_WAVE
+
+    # --- robot geometry / actuation ---------------------------------------
+    min_radius: float = 0.0775
+    max_radius: float = 0.1175
+    rise_period: float = 2.0
+    nx: int = 5               # wave duty cycle: period = (nx+1)*rise_period
+    constraint: float = 0.5
+    constrained_contraction: int = 0
+    constraint_contraction: float = 10.0
+
+    # --- contact / magnet physics ------------------------------------------
+    spring: float = 1000.0
+    damping: float = 10.0
+    shear: float = 40.0
+    attraction: float = 3.0 * 0.000015884
+    friction: float = 0.4
+    gravity: float = 9.81 * 0.566
+    boundary_damping: float = -1.0
+
+    # --- payload (object transport, n_dead == -1) --------------------------
+    rad_factor: float = 2.0
+    mass_factor: float = 1.0
+    friction_factor: float = 1.0
+    attraction_factor: float = 0.0
+
+    # --- light / phase controller ------------------------------------------
+    light_x: float = -5.0
+    light_y: float = 0.0
+    light_shadow: int = 0     # 0 none; 1 shadow modulates last; 2 never
+    phase_std: float = 0.3 * 2.0
+    phase_update_interval: float = 12.0
+
+    # --- schedule ----------------------------------------------------------
+    timestep: float = 0.01
+    max_time: float = 6400.0
+    time_to_dead: float = 0.0
+    dump_interval: float = 60.0
+    sort_interval: float = 180.0
+    centroid_int: float = 10.0
+    centroid_steps: int = 24000
+    centroid_radius: float = 0.05
+    testing: int = 0
+
+    # --- obstacles ----------------------------------------------------------
+    # rectangles as (x1, x2, y1, y2); circles as (x, y, r)
+    rect_obstacles: Tuple[Tuple[float, float, float, float], ...] = ()
+    circle_obstacles: Tuple[Tuple[float, float, float], ...] = ()
+
+    # --- world --------------------------------------------------------------
+    world_half: float = 64.0
+
+    # --- output / render ----------------------------------------------------
+    csv_filename: str = "particle_bot_output_data.csv"
+    video_filename: str = "particle_bot_output_video.avi"
+    camera_x: float = 0.0
+    camera_y: float = 10.0
+    light_radius: float = 0.25
+    display_shadow: int = 0
+    display_interval: int = 600
+    video_interval: int = 1
+
+    # --- TPU engine knobs (no reference equivalent) --------------------------
+    force_backend: ForceBackend = ForceBackend.AUTO
+    # Pair interaction cutoff.  The reference's 5x5-cell scan over a
+    # 2*max_radius grid (particlebot_kernel_impl.cuh:691-699) reaches between
+    # 2 and ~3.5 cell sizes depending on in-cell placement; forces at such
+    # gaps are far below the static-friction floor, so any cutoff >= 2 cells
+    # is behaviorally equivalent.  0 => derived as 2.2 * cell_size().
+    neighbor_cutoff: float = 0.0
+    # Cell-grid backend geometry: table is (grid_dim^2, cell_capacity) with
+    # power-of-two wrap (same trick as calcGridHash,
+    # particlebot_kernel_impl.cuh:114-120).
+    grid_dim: int = 64
+    cell_capacity: int = 16
+    # Steps between host-visible metric flushes inside jitted scan chunks.
+    dtype: str = "float32"
+
+    # ------------------------------------------------------------------ API
+
+    def replace(self, **kw) -> "SimParams":
+        return dataclasses.replace(self, **kw)
+
+    # Derived quantities ----------------------------------------------------
+
+    def cell_size(self) -> float:
+        """Uniform-grid cell size (reference: main.cpp:932-935)."""
+        if (
+            self.n_dead == -1
+            and self.max_radius * 0.5 * self.rad_factor > 2 * self.max_radius
+        ):
+            return self.max_radius * 0.5 * self.rad_factor + 4 * self.max_radius
+        return self.max_radius * 2.0
+
+    def cutoff(self) -> float:
+        if self.neighbor_cutoff > 0:
+            return self.neighbor_cutoff
+        return 2.2 * self.cell_size()
+
+    def n_steps(self) -> int:
+        return int(round(self.max_time / self.timestep))
+
+    def steps_of(self, interval_seconds: float) -> int:
+        """Interval in whole steps (>=1).
+
+        The reference gates on ``time - I*floor(time/I) < dt``
+        (particlebot.cpp:207,212,256) which fires on the first step of every
+        interval window; with integer step counters that is
+        ``step % steps_of(I) == 0``.
+        """
+        return max(1, int(round(interval_seconds / self.timestep)))
+
+    @property
+    def phase_update_steps(self) -> int:
+        return self.steps_of(self.phase_update_interval)
+
+    @property
+    def centroid_steps_interval(self) -> int:
+        return self.steps_of(self.centroid_int)
+
+    @property
+    def dump_steps(self) -> int:
+        return self.steps_of(self.dump_interval)
+
+    @property
+    def dead_step(self) -> int:
+        return int(round(self.time_to_dead / self.timestep))
+
+    @property
+    def has_payload(self) -> bool:
+        return self.n_dead == -1
+
+    def wave_period(self) -> float:
+        return (self.nx + 1) * self.rise_period
+
+    def resolved_backend(self) -> ForceBackend:
+        if self.force_backend != ForceBackend.AUTO:
+            return self.force_backend
+        return ForceBackend.DENSE if self.n_cells <= 2048 else ForceBackend.CELLGRID
+
+    def validate(self) -> "SimParams":
+        if self.n_cells < 1:
+            raise ValueError("n_cells must be >= 1")
+        if len(self.rect_obstacles) > 10 or len(self.circle_obstacles) > 10:
+            # The reference's __constant__ arrays hold at most 10 obstacles
+            # (particlebot_kernel_impl.cuh:28-34).  We keep the limit for
+            # scenario parity; the TPU code itself has no such cap.
+            raise ValueError("at most 10 obstacles of each kind")
+        if self.min_radius <= 0 or self.max_radius < self.min_radius:
+            raise ValueError("need 0 < min_radius <= max_radius")
+        if self.grid_dim & (self.grid_dim - 1):
+            raise ValueError("grid_dim must be a power of two")
+        return self
+
+
+# --------------------------------------------------------------------------
+# .cfg parsing (format: alternating name/value lines, '#' comments;
+# reference parse loop at main.cpp:923-928)
+# --------------------------------------------------------------------------
+
+def _floats(value: str) -> Tuple[float, ...]:
+    return tuple(float(tok) for tok in value.replace(",", " ").split())
+
+
+def parse_cfg_text(text: str, base: SimParams | None = None) -> SimParams:
+    """Parse reference-format cfg text into a ``SimParams``."""
+    lines = [
+        ln.strip()
+        for ln in text.splitlines()
+        if ln.strip() and not ln.strip().startswith("#")
+    ]
+    if len(lines) % 2:
+        raise ValueError("cfg must contain alternating name/value lines")
+    kv = {lines[i]: lines[i + 1] for i in range(0, len(lines), 2)}
+    return params_from_dict(kv, base=base)
+
+
+def params_from_dict(kv: dict, base: SimParams | None = None) -> SimParams:
+    p = base or SimParams()
+    updates: dict = {}
+
+    # obstacle assembly (reference stores them as parallel arrays,
+    # main.cpp:601-676)
+    n_rect = int(kv.pop("nobstacles", len(p.rect_obstacles)))
+    n_circ = int(kv.pop("n_cir_obstacles", len(p.circle_obstacles)))
+    rect_cols = {k: kv.pop(k, None) for k in ("x1obs", "x2obs", "y1obs", "y2obs")}
+    circ_cols = {k: kv.pop(k, None) for k in ("x_cir_obs", "y_cir_obs", "r_cir_obs")}
+
+    if n_rect:
+        cols = []
+        for k in ("x1obs", "x2obs", "y1obs", "y2obs"):
+            if rect_cols[k] is None:
+                raise ValueError(f"nobstacles={n_rect} but '{k}' missing")
+            vals = _floats(rect_cols[k])
+            if len(vals) < n_rect:
+                raise ValueError(f"'{k}' needs {n_rect} values")
+            cols.append(vals[:n_rect])
+        updates["rect_obstacles"] = tuple(zip(*cols))
+    elif any(v is not None for v in rect_cols.values()):
+        updates["rect_obstacles"] = ()
+    if n_circ:
+        cols = []
+        for k in ("x_cir_obs", "y_cir_obs", "r_cir_obs"):
+            if circ_cols[k] is None:
+                raise ValueError(f"n_cir_obstacles={n_circ} but '{k}' missing")
+            vals = _floats(circ_cols[k])
+            if len(vals) < n_circ:
+                raise ValueError(f"'{k}' needs {n_circ} values")
+            cols.append(vals[:n_circ])
+        updates["circle_obstacles"] = tuple(zip(*cols))
+    elif any(v is not None for v in circ_cols.values()):
+        updates["circle_obstacles"] = ()
+
+    _INT = int
+    _FLT = float
+    _STR = str
+    field_map = {
+        # cfg key -> (dataclass field, converter)
+        "nCells": ("n_cells", _INT),
+        "nDead": ("n_dead", _INT),
+        "seed": ("seed", _INT),
+        "min_radius": ("min_radius", _FLT),
+        "max_radius": ("max_radius", _FLT),
+        "rise_period": ("rise_period", _FLT),
+        "Nx": ("nx", _INT),
+        "constraint": ("constraint", _FLT),
+        "constrained_contraction": ("constrained_contraction", _INT),
+        "constraint_contraction": ("constraint_contraction", _FLT),
+        "spring": ("spring", _FLT),
+        "damping": ("damping", _FLT),
+        "shear": ("shear", _FLT),
+        "attraction": ("attraction", _FLT),
+        "friction": ("friction", _FLT),
+        "gravity": ("gravity", _FLT),
+        "boundaryDamping": ("boundary_damping", _FLT),
+        "radFactor": ("rad_factor", _FLT),
+        "massFactor": ("mass_factor", _FLT),
+        "frictionFactor": ("friction_factor", _FLT),
+        "attractionFactor": ("attraction_factor", _FLT),
+        "light_x": ("light_x", _FLT),
+        "light_y": ("light_y", _FLT),
+        "light_shadow": ("light_shadow", _INT),
+        "phase_std": ("phase_std", _FLT),
+        "phase_update_interval": ("phase_update_interval", _FLT),
+        "timestep": ("timestep", _FLT),
+        "max_time": ("max_time", _FLT),
+        "time_to_dead": ("time_to_dead", _FLT),
+        "dump_interval": ("dump_interval", _FLT),
+        "sort_interval": ("sort_interval", _FLT),
+        "centroid_int": ("centroid_int", _FLT),
+        "centroid_steps": ("centroid_steps", _INT),
+        "centroid_radius": ("centroid_radius", _FLT),
+        "testing": ("testing", _INT),
+        "csv_filename": ("csv_filename", _STR),
+        "video_filename": ("video_filename", _STR),
+        "camera_x": ("camera_x", _FLT),
+        "camera_y": ("camera_y", _FLT),
+        "light_radius": ("light_radius", _FLT),
+        "display_shadow": ("display_shadow", _INT),
+        "DISPLAY_INTERVAL": ("display_interval", _INT),
+        "VIDEO_INTERVAL": ("video_interval", _INT),
+        # TPU-engine extensions
+        "force_backend": ("force_backend", lambda v: ForceBackend[v.upper()]),
+        "neighbor_cutoff": ("neighbor_cutoff", _FLT),
+        "grid_dim": ("grid_dim", _INT),
+        "cell_capacity": ("cell_capacity", _INT),
+    }
+
+    for key, value in kv.items():
+        if key == "config":
+            name = value.strip()
+            if name not in _CONFIG_NAMES:
+                raise ValueError(f"unknown config layout '{name}'")
+            updates["config"] = _CONFIG_NAMES[name]
+            continue
+        if key not in field_map:
+            raise ValueError(f"unknown cfg key '{key}'")
+        field, conv = field_map[key]
+        updates[field] = conv(value)
+
+    # phase_std default tracks rise_period (main.cpp:899) unless overridden
+    if "rise_period" in updates and "phase_std" not in updates:
+        updates["phase_std"] = 0.3 * updates["rise_period"]
+
+    return p.replace(**updates).validate()
+
+
+def load_cfg(path: str, base: SimParams | None = None) -> SimParams:
+    with open(path, "r", encoding="utf-8") as f:
+        return parse_cfg_text(f.read(), base=base)
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def padded_n(params: SimParams, multiple: int = 128) -> int:
+    """Bot-array padding to a lane-friendly multiple (TPU lane width 128)."""
+    return round_up(params.n_cells, multiple)

@@ -1,0 +1,183 @@
+"""Simulation engine: the jitted per-step pipeline and scan loop.
+
+TPU-native re-design of ``Particlebot::update``
+(/root/reference/particlebot.cpp:170-300).  One ``step`` call is one physics
+step of ``timestep`` seconds; the op order matches the reference exactly:
+
+  1. dead-cell injection at ``time_to_dead``   (particlebot.cpp:178-194)
+  2. centroid tracking every ``centroid_int``  (particlebot.cpp:207-209)
+  3. phase update every ``phase_update_interval`` + gaussian noise
+                                               (particlebot.cpp:211-237)
+  4. force-limited radius update (uses *previous* step's force magnitudes —
+     the one-step-lag feedback loop)           (particlebot.cpp:238-242)
+  5. position integrate + boundary clamp       (particlebot.cpp:246-252)
+  6. neighbor collide -> new velocity + force magnitudes
+                                               (particlebot.cpp:256-296)
+
+Improvements over the reference (documented deviations, not bugs):
+* interval gating by integer step counters instead of float ``mod`` — exact,
+  no drift (reference gates at particlebot.cpp:207/212/256 are float).
+* the min-distance reduction for the phase law runs on-device; the reference
+  round-trips positions to the host every phase update
+  (particlebot.cpp:214-228).
+* neighbor structure is rebuilt every step (exact) instead of the
+  stale-sort + 5x5 scan compensation; see ops/grid.py.
+* colors are not computed in the hot loop (render-only state).
+
+The whole loop lives inside ``lax.scan`` under ``jit`` — zero host syncs
+between dumps.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from .config import ForceBackend, SimParams, padded_n
+from .ops.actuation import update_radius
+from .ops.forces import dense_collide
+from .ops.grid import cellgrid_collide
+from .ops.integrate import integrate
+from .ops.phase import update_phase
+from .state import SimState, active_mask, payload_mask
+
+
+def _collide_fn(params: SimParams) -> Callable:
+    backend = params.resolved_backend()
+    if backend == ForceBackend.DENSE:
+        return dense_collide
+    return cellgrid_collide
+
+
+def _inject_dead(params: SimParams, state: SimState, key: jax.Array) -> jax.Array:
+    """Randomly kill ``n_dead`` distinct bots (particlebot.cpp:178-194).
+
+    The reference draws with host ``rand()``; we draw a uniform score per bot
+    and kill the ``n_dead`` smallest — same uniform-without-replacement
+    distribution, fully on-device.
+    """
+    n_pad = state.pos.shape[0]
+    mask = active_mask(params, n_pad)
+    scores = jax.random.uniform(key, (n_pad,))
+    scores = jnp.where(mask & ~state.dead, scores, jnp.inf)
+    _, kill_idx = jax.lax.top_k(-scores, params.n_dead)
+    return state.dead.at[kill_idx].set(True)
+
+
+def make_step(params: SimParams) -> Callable[[SimState], SimState]:
+    """Build the jittable one-step transition for a fixed scenario."""
+    params = params.validate()
+    dt = params.timestep
+    n_pad = padded_n(params)
+    collide = _collide_fn(params)
+    phase_gate_steps = params.phase_update_steps
+    cog_gate_steps = params.centroid_steps_interval
+    mask_const = None  # built lazily inside trace
+
+    def step(state: SimState) -> SimState:
+        mask = active_mask(params, n_pad)
+        payload = payload_mask(params, n_pad)
+        time = state.time(dt)
+        step_key = jax.random.fold_in(state.key, state.step)
+
+        # 1. dead-cell injection (one-shot)
+        dead = state.dead
+        if params.n_dead > 0:
+            dead = jax.lax.cond(
+                state.step == params.dead_step,
+                lambda d: _inject_dead(params, state, step_key),
+                lambda d: d,
+                dead,
+            )
+
+        # 2. centroid ring buffer (reference ring index:
+        #    (int)(time / centroid_int) % centroid_steps,
+        #    particlebot_cuda.cu:245)
+        cog_gate = state.step % cog_gate_steps == 0
+        centroid = jnp.sum(
+            jnp.where(mask[:, None], state.pos, 0.0), axis=0
+        ) / jnp.float32(params.n_cells)
+        ring_idx = (state.step // cog_gate_steps) % params.centroid_steps
+        ring = jnp.where(
+            cog_gate,
+            jax.lax.dynamic_update_slice(
+                state.centroid_ring, centroid[None, :], (ring_idx, 0)
+            ),
+            state.centroid_ring,
+        )
+
+        # 3. phase controller (interval gated)
+        phase_gate = state.step % phase_gate_steps == 0
+        new_phase = update_phase(
+            params, state.pos, state.phase, mask, jax.random.fold_in(step_key, 1)
+        )
+        phase = jnp.where(phase_gate, new_phase, state.phase)
+
+        # 4. radius controller — consumes previous collide's force magnitudes
+        rad = update_radius(
+            params,
+            state.rad,
+            phase,
+            state.abs_force_a,
+            state.abs_force_r,
+            dead,
+            mask,
+            time,
+            dt,
+        )
+
+        # 5. integrate + boundary
+        pos, vel = integrate(params, state.pos, state.vel, rad, dt)
+
+        # 6. collide -> next-step velocity + force magnitudes
+        new_vel, abs_a, abs_r = collide(params, pos, vel, rad, mask, payload, dt)
+
+        return SimState(
+            pos=pos,
+            vel=new_vel,
+            rad=rad,
+            phase=phase,
+            dead=dead,
+            abs_force_a=abs_a,
+            abs_force_r=abs_r,
+            step=state.step + 1,
+            key=state.key,
+            centroid_ring=ring,
+        )
+
+    return step
+
+
+def make_run_chunk(params: SimParams) -> Callable[[SimState, int], SimState]:
+    """``run_chunk(state, n_steps)`` — n_steps of physics fused in one jitted
+    ``lax.scan``; n_steps is static (one compile per distinct chunk size)."""
+    step = make_step(params)
+
+    @functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
+    def run_chunk(state: SimState, n_steps: int) -> SimState:
+        def body(s, _):
+            return step(s), None
+
+        out, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return out
+
+    return run_chunk
+
+
+def make_run_chunk_batched(params: SimParams) -> Callable:
+    """vmapped variant: state pytree carries a leading batch axis (scenes)."""
+    step = make_step(params)
+    vstep = jax.vmap(step)
+
+    @functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
+    def run_chunk(state: SimState, n_steps: int) -> SimState:
+        def body(s, _):
+            return vstep(s), None
+
+        out, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return out
+
+    return run_chunk

@@ -1,0 +1,150 @@
+"""High-level simulation driver — the app layer.
+
+TPU-native equivalent of the reference's GLUT app driver
+(/root/reference/main.cpp:823-967 + the per-frame display() loop at
+main.cpp:354-481), minus the interactive window: scenario setup from a
+``.cfg``, the step loop in dump-interval chunks (each chunk one jitted
+``lax.scan`` — the device never syncs mid-chunk), CSV metrics, checkpoints,
+resume, and optional headless video rendering.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from .config import SimParams, load_cfg
+from .engine import make_run_chunk
+from .io.checkpoint import load_checkpoint, save_checkpoint
+from .io.csvio import CsvDumper, load_last_row
+from .models.placement import initial_state_arrays
+from .state import SimState, make_state
+
+
+class Simulation:
+    """Owns params + state and drives the step loop.
+
+    Typical use::
+
+        sim = Simulation.from_cfg("examples/example.cfg")
+        sim.run()                      # full scenario, CSV to params.csv_filename
+    """
+
+    def __init__(self, params: SimParams, state: Optional[SimState] = None):
+        if state is None:
+            params, pos, vel, rad, phase, dead = initial_state_arrays(params)
+            state = make_state(params, pos, vel, rad, phase, dead)
+        self.params = params
+        self.state = state
+        self._run_chunk = make_run_chunk(params)
+
+    # ------------------------------------------------------------ builders
+
+    @classmethod
+    def from_cfg(cls, path: str, base: SimParams | None = None, **overrides):
+        params = load_cfg(path, base=base)
+        if overrides:
+            params = params.replace(**overrides)
+        return cls(params)
+
+    @classmethod
+    def from_checkpoint(cls, path: str):
+        params, state = load_checkpoint(path)
+        return cls(params, state=state)
+
+    @classmethod
+    def resume_from_csv(cls, params: SimParams, csv_path: str):
+        """Continue from the last complete CSV row (reference ``cont`` mode,
+        main.cpp:941-956).  Phase/dead are NOT in the CSV — same fidelity gap
+        as the reference; prefer checkpoints."""
+        row = load_last_row(params, csv_path)
+        if row is None:
+            return cls(params)
+        t, pos, vel, rad = row
+        sim = cls(params)  # placement establishes dead flags / payload
+        host = jax.device_get(sim.state)
+        n = params.n_cells
+        new_state = sim.state._replace(
+            pos=sim.state.pos.at[:n].set(pos),
+            vel=sim.state.vel.at[:n].set(vel),
+            rad=sim.state.rad.at[:n].set(rad),
+            step=np.int32(round(t / params.timestep)),
+        )
+        sim.state = new_state
+        return sim
+
+    # ------------------------------------------------------------ stepping
+
+    @property
+    def time(self) -> float:
+        return float(jax.device_get(self.state.step)) * self.params.timestep
+
+    def host_view(self):
+        """(pos, vel, rad) host copies, unpadded."""
+        n = self.params.n_cells
+        pos, vel, rad = jax.device_get(
+            (self.state.pos[:n], self.state.vel[:n], self.state.rad[:n])
+        )
+        return np.asarray(pos), np.asarray(vel), np.asarray(rad)
+
+    def centroid(self) -> np.ndarray:
+        pos, _, _ = self.host_view()
+        return pos.mean(axis=0)
+
+    def step_chunk(self, n_steps: int):
+        self.state = self._run_chunk(self.state, n_steps)
+
+    def run(
+        self,
+        max_time: float | None = None,
+        csv_path: str | None = None,
+        echo: bool = True,
+        checkpoint_path: str | None = None,
+        checkpoint_every_dumps: int = 0,
+        frame_callback: Optional[Callable[["Simulation"], None]] = None,
+    ):
+        """Run to ``max_time`` (params.max_time by default), dumping CSV rows
+        every ``dump_interval`` exactly like the reference display loop.
+
+        The reference dumps *before* stepping each frame (main.cpp:359 vs
+        update at main.cpp:361), so row t=0 is the initial condition and the
+        last row is at the final dump boundary <= max_time.
+        """
+        p = self.params
+        total_steps = int(round((max_time or p.max_time) / p.timestep))
+        dump_steps = p.dump_steps
+        csv_path = csv_path or p.csv_filename
+
+        out = open(csv_path, "w", encoding="utf-8")
+        dumper = CsvDumper(p, out, echo=echo)
+        dumps_done = 0
+        try:
+            done = int(jax.device_get(self.state.step))
+            while done < total_steps:
+                pos, vel, rad = self.host_view()
+                dumper.dump(done * p.timestep, pos, vel, rad)
+                if frame_callback is not None:
+                    frame_callback(self)
+                dumps_done += 1
+                if (
+                    checkpoint_path
+                    and checkpoint_every_dumps
+                    and dumps_done % checkpoint_every_dumps == 0
+                ):
+                    save_checkpoint(checkpoint_path, p, self.state)
+                chunk = min(dump_steps, total_steps - done)
+                self.step_chunk(chunk)
+                done += chunk
+            pos, vel, rad = self.host_view()
+            dumper.dump(done * p.timestep, pos, vel, rad)
+            if frame_callback is not None:
+                frame_callback(self)
+            if checkpoint_path:
+                save_checkpoint(checkpoint_path, p, self.state)
+        finally:
+            out.close()
+        return self

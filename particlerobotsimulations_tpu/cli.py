@@ -1,0 +1,165 @@
+"""Command-line entry point.
+
+Mirrors the reference binary's interface (``./ParticleBot <cfg>``,
+/root/reference/main.cpp:913-917) plus subcommands the reference lacks:
+
+    python -m particlerobotsimulations_tpu.cli simulate examples/example.cfg
+    python -m particlerobotsimulations_tpu.cli simulate cfg --video --max-time 600
+    python -m particlerobotsimulations_tpu.cli sweep cfg --seeds 0:8 --steps 6000
+    python -m particlerobotsimulations_tpu.cli bench
+
+Outputs land in the working directory under the cfg's csv_filename /
+video_filename, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _add_overrides(p: argparse.ArgumentParser):
+    p.add_argument("--max-time", type=float, default=None, help="override max_time")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--n-cells", type=int, default=None)
+    p.add_argument("--backend", type=str, default=None,
+                   help="force backend: dense|cellgrid|stencil|pallas")
+    p.add_argument("--csv", type=str, default=None, help="override csv_filename")
+    p.add_argument("--testing", type=int, default=None,
+                   help="1 = full per-bot CSV columns (enables resume)")
+
+
+def _apply_overrides(params, args):
+    from .config import ForceBackend
+
+    over = {}
+    if args.max_time is not None:
+        over["max_time"] = args.max_time
+    if args.seed is not None:
+        over["seed"] = args.seed
+    if args.n_cells is not None:
+        over["n_cells"] = args.n_cells
+    if args.backend is not None:
+        try:
+            over["force_backend"] = ForceBackend[args.backend.upper()]
+        except KeyError:
+            names = ", ".join(b.name.lower() for b in ForceBackend)
+            raise SystemExit(
+                f"error: unknown backend '{args.backend}' (choose from: {names})"
+            )
+    if args.csv is not None:
+        over["csv_filename"] = args.csv
+    if args.testing is not None:
+        over["testing"] = args.testing
+    return params.replace(**over) if over else params
+
+
+def cmd_simulate(args) -> int:
+    from .config import load_cfg
+    from .sim import Simulation
+
+    params = _apply_overrides(load_cfg(args.cfg), args)
+    sim = Simulation(params)
+
+    recorder = None
+    frame_cb = None
+    if args.video:
+        from .render.video import VideoRecorder
+
+        recorder = VideoRecorder(params, width=args.video_width,
+                                 height=args.video_height)
+        frame_cb = recorder.capture
+        print(f"recording video -> {recorder.path}", file=sys.stderr)
+
+    t0 = time.time()
+    try:
+        sim.run(
+            csv_path=params.csv_filename,
+            echo=not args.quiet,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every_dumps=args.checkpoint_every,
+            frame_callback=frame_cb,
+        )
+    finally:
+        if recorder is not None:
+            recorder.close()
+    wall = time.time() - t0
+    steps = params.n_steps()
+    print(
+        f"simulated {params.max_time:g} sim-s ({steps} steps, "
+        f"{params.n_cells} bots) in {wall:.1f} s wall "
+        f"({steps * params.n_cells / max(wall, 1e-9) / 1e6:.2f} M particle-steps/s)",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    from .config import load_cfg
+    from .parallel.sweep import default_mesh, run_sweep, sweep_summary
+
+    params = _apply_overrides(load_cfg(args.cfg), args)
+    lo, hi = (int(x) for x in args.seeds.split(":"))
+    seeds = list(range(lo, hi))
+    n_steps = args.steps or params.n_steps()
+    mesh = default_mesh() if args.mesh else None
+    _, cents = run_sweep(params, seeds, n_steps, mesh=mesh)
+    summary = sweep_summary(cents, params)
+    print("time_s,distance_mean,distance_std,centroid_x,centroid_y")
+    dump_dt = params.dump_steps * params.timestep
+    for i in range(len(summary["distance_mean"])):
+        print(
+            f"{i * dump_dt:g},{summary['distance_mean'][i]:f},"
+            f"{summary['distance_std'][i]:f},"
+            f"{summary['centroid_mean'][i, 0]:f},{summary['centroid_mean'][i, 1]:f}"
+        )
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="particlerobotsimulations_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sim_p = sub.add_parser("simulate", help="run one scenario from a .cfg")
+    sim_p.add_argument("cfg")
+    sim_p.add_argument("--video", action="store_true", help="record AVI video")
+    sim_p.add_argument("--video-width", type=int, default=960)
+    sim_p.add_argument("--video-height", type=int, default=540)
+    sim_p.add_argument("--quiet", action="store_true")
+    sim_p.add_argument("--checkpoint", type=str, default=None)
+    sim_p.add_argument("--checkpoint-every", type=int, default=0,
+                       help="checkpoint every N dumps")
+    _add_overrides(sim_p)
+    sim_p.set_defaults(fn=cmd_simulate)
+
+    sw_p = sub.add_parser("sweep", help="Monte-Carlo seed sweep over devices")
+    sw_p.add_argument("cfg")
+    sw_p.add_argument("--seeds", type=str, default="0:8", help="lo:hi seed range")
+    sw_p.add_argument("--steps", type=int, default=0)
+    sw_p.add_argument("--mesh", action="store_true", help="shard over all devices")
+    _add_overrides(sw_p)
+    sw_p.set_defaults(fn=cmd_sweep)
+
+    b_p = sub.add_parser("bench", help="run the throughput benchmark")
+    b_p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -50,17 +50,26 @@ class Control(enum.IntEnum):
 class ForceBackend(enum.IntEnum):
     """Which neighbor-force implementation the engine uses.
 
-    DENSE     masked O(N^2) pairwise forces — exact, best for <= ~4k bots.
-    CELLGRID  wrapped fixed-capacity cell table, 3x3 neighborhood — scales to
-              10k+ bots (TPU analogue of the reference's uniform grid at
+    DENSE     masked O(N^2) pairwise forces — exact, best for <= ~2k bots.
+    CELLGRID  wrapped fixed-capacity cell table with explicit candidate
+              gathers (TPU analogue of the reference's uniform grid at
               particlebot_kernel_impl.cuh:445-538, rebuilt every step instead
-              of the reference's stale-sort scheme).
-    AUTO      pick per scenario size.
+              of the reference's stale-sort scheme).  Correct but
+              gather-bound on TPU; kept as a readable reference
+              implementation.
+    STENCIL   the same cell table computed as a dense 3x3 jnp.roll stencil —
+              zero gathers in the hot path (see ops/stencil.py).
+    PALLAS    the stencil as a hand-written VMEM-resident Pallas TPU kernel —
+              the production backend for large swarms on TPU
+              (see ops/pallas_stencil.py).
+    AUTO      pick per scenario size and platform.
     """
 
     AUTO = 0
     DENSE = 1
     CELLGRID = 2
+    STENCIL = 3
+    PALLAS = 4
 
 
 _CONFIG_NAMES = {
@@ -158,10 +167,15 @@ class SimParams:
     # gaps are far below the static-friction floor, so any cutoff >= 2 cells
     # is behaviorally equivalent.  0 => derived as 2.2 * cell_size().
     neighbor_cutoff: float = 0.0
-    # Cell-grid backend geometry: table is (grid_dim^2, cell_capacity) with
-    # power-of-two wrap (same trick as calcGridHash,
-    # particlebot_kernel_impl.cuh:114-120).
-    grid_dim: int = 64
+    # Cell-grid backend geometry: table is (grid_dim^2, cell_capacity),
+    # anchored to the swarm's bounding box each step (dynamic origin) and
+    # wrapped modulo grid_dim — the bbox anchoring keeps table occupancy
+    # high, the wrap (same trick as calcGridHash,
+    # particlebot_kernel_impl.cuh:114-120, but swarm-anchored) makes
+    # stragglers safe: aliased far pairs are killed by the true-distance
+    # cutoff.  0 => auto-size from the expected packed-blob diameter.
+    # Must be a multiple of 16 (keeps grid_dim^2 lane-tile aligned).
+    grid_dim: int = 0
     cell_capacity: int = 16
     # Steps between host-visible metric flushes inside jitted scan chunks.
     dtype: str = "float32"
@@ -226,7 +240,15 @@ class SimParams:
     def resolved_backend(self) -> ForceBackend:
         if self.force_backend != ForceBackend.AUTO:
             return self.force_backend
-        return ForceBackend.DENSE if self.n_cells <= 2048 else ForceBackend.CELLGRID
+        if self.n_cells <= 2048:
+            return ForceBackend.DENSE
+        # platform-dependent: the Pallas kernel needs a real TPU (Mosaic);
+        # elsewhere the XLA stencil is the portable scalable path
+        import jax
+
+        if jax.default_backend() not in ("cpu",):
+            return ForceBackend.PALLAS
+        return ForceBackend.STENCIL
 
     def validate(self) -> "SimParams":
         if self.n_cells < 1:
@@ -238,9 +260,21 @@ class SimParams:
             raise ValueError("at most 10 obstacles of each kind")
         if self.min_radius <= 0 or self.max_radius < self.min_radius:
             raise ValueError("need 0 < min_radius <= max_radius")
-        if self.grid_dim & (self.grid_dim - 1):
-            raise ValueError("grid_dim must be a power of two")
+        if self.grid_dim % 16:
+            raise ValueError("grid_dim must be 0 (auto) or a multiple of 16")
         return self
+
+    def resolved_grid_dim(self) -> int:
+        """Cell-table side length.  Auto mode sizes the wrapped, bbox-anchored
+        grid to ~2x the packed-blob diameter (hex close packing of n disks of
+        min_radius has diameter ~ 2.1 * min_radius * sqrt(n))."""
+        if self.grid_dim:
+            return self.grid_dim
+        import math
+
+        diameter = 2.1 * self.min_radius * math.sqrt(max(self.n_cells, 1))
+        cells = 1.5 * diameter / self.cutoff()
+        return max(16, int(math.ceil(cells / 16.0)) * 16)
 
 
 # --------------------------------------------------------------------------

@@ -40,6 +40,8 @@ from .config import ForceBackend, SimParams, padded_n
 from .ops.actuation import update_radius
 from .ops.forces import dense_collide
 from .ops.grid import cellgrid_collide
+from .ops.pallas_stencil import pallas_stencil_collide
+from .ops.stencil import stencil_collide
 from .ops.integrate import integrate
 from .ops.phase import update_phase
 from .state import SimState, active_mask, payload_mask
@@ -49,7 +51,11 @@ def _collide_fn(params: SimParams) -> Callable:
     backend = params.resolved_backend()
     if backend == ForceBackend.DENSE:
         return dense_collide
-    return cellgrid_collide
+    if backend == ForceBackend.CELLGRID:
+        return cellgrid_collide
+    if backend == ForceBackend.PALLAS:
+        return pallas_stencil_collide
+    return stencil_collide
 
 
 def _inject_dead(params: SimParams, state: SimState, key: jax.Array) -> jax.Array:

@@ -43,18 +43,28 @@ class CellTable(NamedTuple):
 
 
 def cell_ids(params: SimParams, pos: jax.Array, mask: jax.Array) -> jax.Array:
-    """Wrapped cell id per bot; padding routed out of range (dropped later)."""
-    g = params.grid_dim
+    """Wrapped cell id per bot; padding routed out of range (dropped later).
+
+    The grid is anchored to the swarm's bounding box (dynamic origin =
+    min active position) rather than the world: a compact blob then fills a
+    small table densely, which is what makes the stencil backends fast.  The
+    modular wrap (reference: calcGridHash power-of-2 wrap,
+    particlebot_kernel_impl.cuh:114-120) keeps stragglers safe — aliased
+    far-apart pairs are eliminated by the true-distance cutoff.
+    """
+    g = params.resolved_grid_dim()
     h = jnp.float32(params.cutoff())
-    origin = jnp.float32(-params.world_half)
-    ix = jnp.floor((pos[..., 0] - origin) / h).astype(jnp.int32) & (g - 1)
-    iy = jnp.floor((pos[..., 1] - origin) / h).astype(jnp.int32) & (g - 1)
+    big = jnp.float32(4.0 * params.world_half)
+    ox = jnp.min(jnp.where(mask, pos[..., 0], big))
+    oy = jnp.min(jnp.where(mask, pos[..., 1], big))
+    ix = jnp.floor((pos[..., 0] - ox) / h).astype(jnp.int32) % g
+    iy = jnp.floor((pos[..., 1] - oy) / h).astype(jnp.int32) % g
     cid = iy * g + ix
     return jnp.where(mask, cid, g * g)
 
 
 def build_cell_table(params: SimParams, pos: jax.Array, mask: jax.Array) -> CellTable:
-    g, cap = params.grid_dim, params.cell_capacity
+    g, cap = params.resolved_grid_dim(), params.cell_capacity
     n = pos.shape[0]
     cid = cell_ids(params, pos, mask)
 
@@ -78,15 +88,15 @@ def build_cell_table(params: SimParams, pos: jax.Array, mask: jax.Array) -> Cell
 
 def neighbor_candidates(params: SimParams, table: CellTable) -> jax.Array:
     """(n_pad, 9*cell_capacity) int32 candidate bot indices (-1 = empty)."""
-    g, cap = params.grid_dim, params.cell_capacity
+    g, cap = params.resolved_grid_dim(), params.cell_capacity
     cid = jnp.minimum(table.cell_id, g * g - 1)
     cx = cid % g
     cy = cid // g
     offs = jnp.array(
         [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)], dtype=jnp.int32
     )
-    nx = (cx[:, None] + offs[None, :, 1]) & (g - 1)
-    ny = (cy[:, None] + offs[None, :, 0]) & (g - 1)
+    nx = (cx[:, None] + offs[None, :, 1]) % g
+    ny = (cy[:, None] + offs[None, :, 0]) % g
     ncell = ny * g + nx                                        # (n, 9)
     base = ncell[..., None] * cap + jnp.arange(cap, dtype=jnp.int32)
     return table.idx[base.reshape(base.shape[0], -1)]          # (n, 9*cap)

@@ -1,0 +1,196 @@
+"""Spatial (bot-axis) sharding of one giant scene across a mesh.
+
+The stretch design from SURVEY.md §2: when a single swarm outgrows one chip,
+shard the *bot* axis.  Forces need every bot's position, so each device
+all-gathers the (small: N*5 floats) kinematic state over ICI and computes
+forces for its own bot shard — the tensor-parallel analogue.  Reductions the
+step needs globally (min distance to light for the phase law, the swarm
+centroid) are ``psum``-style collectives.
+
+Implemented with ``shard_map`` so the collectives are explicit and the
+per-device working set stays O(N/D * N) for the dense backend.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import SimParams, padded_n
+from ..ops.actuation import update_radius
+from ..ops.forces import (
+    attraction_scale,
+    friction_velocity_update,
+    obstacle_forces,
+    pair_forces,
+)
+from ..ops.integrate import integrate
+from ..ops.phase import in_shadow, light_distance, PHASE_NEVER
+from ..state import SimState
+
+
+def make_sharded_step(params: SimParams, mesh: Mesh, axis: str = "bots"):
+    """One physics step with bots sharded over ``axis``.
+
+    State layout inside: pos/vel/rad/... carry the bot dimension sharded;
+    step/key/centroid_ring are replicated.  The collide pass all-gathers
+    positions (the only cross-device traffic) and computes the local rows of
+    the pair interaction.
+    """
+    params = params.validate()
+    dt = params.timestep
+    n_pad = padded_n(params)
+    n_dev = mesh.shape[axis]
+    if n_pad % n_dev:
+        raise ValueError(f"padded bot count {n_pad} not divisible by mesh axis {n_dev}")
+    f32 = jnp.float32
+
+    bot_spec = P(axis)
+    bot2_spec = P(axis, None)
+    rep = P()
+
+    state_specs = SimState(
+        pos=bot2_spec,
+        vel=bot2_spec,
+        rad=bot_spec,
+        phase=bot_spec,
+        dead=bot_spec,
+        abs_force_a=bot_spec,
+        abs_force_r=bot_spec,
+        step=rep,
+        key=rep,
+        centroid_ring=rep,
+    )
+
+    def local_masks(shard_size):
+        dev = jax.lax.axis_index(axis)
+        idx = dev * shard_size + jnp.arange(shard_size)
+        mask = idx < params.n_cells
+        payload = (
+            (idx == params.n_cells - 1)
+            if params.has_payload
+            else jnp.zeros((shard_size,), bool)
+        )
+        return idx, mask, payload
+
+    def step_local(state: SimState) -> SimState:
+        shard = state.pos.shape[0]
+        idx, mask, payload = local_masks(shard)
+        time = state.step.astype(f32) * f32(dt)
+        step_key = jax.random.fold_in(state.key, state.step)
+
+        # --- phase (interval gated); min-dist is a cross-device min ------
+        dist = light_distance(params, state.pos)
+        min_d = jax.lax.pmin(
+            jnp.min(jnp.where(mask, dist, jnp.inf)), axis_name=axis
+        )
+        base = (min_d - dist) / (2.0 * f32(params.min_radius)) * f32(
+            params.rise_period
+        )
+        if params.light_shadow:
+            shadowed = in_shadow(params, state.pos)
+            blocked = (
+                f32(-(params.nx - 1) * params.rise_period)
+                if params.light_shadow == 1
+                else f32(PHASE_NEVER)
+            )
+            base = jnp.where(shadowed, blocked, base)
+        if params.phase_std:
+            noise_key = jax.random.fold_in(
+                jax.random.fold_in(step_key, 1), jax.lax.axis_index(axis)
+            )
+            base = base + f32(params.phase_std) * jax.random.normal(
+                noise_key, base.shape, dtype=f32
+            )
+        gate = state.step % params.phase_update_steps == 0
+        phase = jnp.where(gate & mask, base, state.phase)
+
+        # --- radius / integrate (purely local) ---------------------------
+        rad = update_radius(
+            params, state.rad, phase, state.abs_force_a, state.abs_force_r,
+            state.dead, mask, time, dt,
+        )
+        pos, vel = integrate(params, state.pos, state.vel, rad, dt)
+
+        # --- collide: all-gather kinematics, compute local rows ----------
+        all_pos = jax.lax.all_gather(pos, axis, tiled=True)      # (n_pad, 2)
+        all_vel = jax.lax.all_gather(vel, axis, tiled=True)
+        all_rad = jax.lax.all_gather(rad, axis, tiled=True)
+        all_mask = jax.lax.all_gather(mask, axis, tiled=True)
+
+        gidx = jnp.arange(n_pad)
+        all_payload = (
+            (gidx == params.n_cells - 1)
+            if params.has_payload
+            else jnp.zeros((n_pad,), bool)
+        )
+
+        diff = all_pos[None, :, :] - pos[:, None, :]
+        rel_vel = all_vel[None, :, :] - vel[:, None, :]
+        valid = mask[:, None] & all_mask[None, :] & (idx[:, None] != gidx[None, :])
+        afac_i = attraction_scale(params, payload)
+        afac_j = attraction_scale(params, all_payload)
+        attraction_ij = f32(params.attraction) * afac_i[:, None] * afac_j[None, :]
+
+        pf = pair_forces(
+            params, diff, rel_vel, rad[:, None], all_rad[None, :],
+            attraction_ij, valid,
+        )
+        force = jnp.sum(pf.force, axis=1)
+        abs_a = jnp.sum(pf.mag_attract, axis=1)
+        abs_r = jnp.sum(pf.mag_contact, axis=1)
+
+        f_obs, m_obs = obstacle_forces(params, pos, vel, rad)
+        force = force + f_obs
+        abs_r = abs_r + m_obs
+
+        new_vel = friction_velocity_update(params, vel, force, payload, dt)
+        new_vel = jnp.where(mask[..., None], new_vel, 0.0)
+
+        # --- centroid ring (psum over shards, replicated write) ----------
+        cog_gate = state.step % params.centroid_steps_interval == 0
+        local_sum = jnp.sum(jnp.where(mask[:, None], pos, 0.0), axis=0)
+        centroid = jax.lax.psum(local_sum, axis) / f32(params.n_cells)
+        ring_idx = (
+            state.step // params.centroid_steps_interval
+        ) % params.centroid_steps
+        ring = jnp.where(
+            cog_gate,
+            jax.lax.dynamic_update_slice(
+                state.centroid_ring, centroid[None, :], (ring_idx, 0)
+            ),
+            state.centroid_ring,
+        )
+
+        return SimState(
+            pos=pos, vel=new_vel, rad=rad, phase=phase, dead=state.dead,
+            abs_force_a=abs_a, abs_force_r=abs_r, step=state.step + 1,
+            key=state.key, centroid_ring=ring,
+        )
+
+    sharded = shard_map(
+        step_local, mesh=mesh, in_specs=(state_specs,), out_specs=state_specs
+    )
+
+    @jax.jit
+    def step(state: SimState) -> SimState:
+        return sharded(state)
+
+    return step, state_specs
+
+
+def shard_state(state: SimState, mesh: Mesh, axis: str = "bots") -> SimState:
+    """Place a replicated SimState according to the sharded-step layout."""
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    specs = SimState(
+        pos=P(axis, None), vel=P(axis, None), rad=P(axis), phase=P(axis),
+        dead=P(axis), abs_force_a=P(axis), abs_force_r=P(axis),
+        step=P(), key=P(), centroid_ring=P(),
+    )
+    return jax.tree.map(put, state, specs)

@@ -1,0 +1,74 @@
+"""Video recording hook for Simulation runs.
+
+Replicates the reference's cadence: a frame is *displayed* every
+``DISPLAY_INTERVAL`` physics steps (main.cpp:370, default 600) and every
+``VIDEO_INTERVAL``-th displayed frame is written to the AVI at 20 FPS
+(postprocess.cu:99-116).  Here the recorder snapshots at dump boundaries or
+explicit calls — one frame per ``capture()``.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from ..config import SimParams
+from ..ops.color import bot_colors
+from .avi import AviWriter
+from .raster import render_frame
+
+
+class VideoRecorder:
+    def __init__(
+        self,
+        params: SimParams,
+        path: str | None = None,
+        width: int = 960,
+        height: int = 540,
+        fps: int = 20,
+    ):
+        self.params = params
+        self.path = path or params.video_filename
+        self.writer = AviWriter(self.path, width, height, fps=fps)
+        self.width = width
+        self.height = height
+        self._frame_idx = 0
+
+    def capture(self, sim) -> np.ndarray:
+        """Render + append one frame from a Simulation's current state."""
+        p = self.params
+        n = p.n_cells
+        state = sim.state
+        pos, rad, dead = jax.device_get(
+            (state.pos[:n], state.rad[:n], state.dead[:n])
+        )
+        colors = np.asarray(
+            jax.device_get(
+                bot_colors(p, state.rad[:n], state.pos[:n], state.dead[:n])
+            )
+        )
+        ring = np.asarray(jax.device_get(state.centroid_ring))
+        trail = ring[ring[:, 0] > -4000.0]  # drop unwritten sentinel slots
+        frame = render_frame(
+            p,
+            np.asarray(pos),
+            np.asarray(rad),
+            colors,
+            centroid_trail=trail,
+            width=self.width,
+            height=self.height,
+        )
+        # video_interval thinning (reference: postprocess.cu:113)
+        if self._frame_idx % max(1, p.video_interval) == 0:
+            self.writer.write_frame(frame)
+        self._frame_idx += 1
+        return frame
+
+    def close(self):
+        self.writer.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

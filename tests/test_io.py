@@ -1,0 +1,104 @@
+"""CSV + checkpoint IO tests (reference schema: particlebot.cpp:303-411)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from particlerobotsimulations_tpu import SimParams, Simulation
+from particlerobotsimulations_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from particlerobotsimulations_tpu.io.csvio import CsvDumper, header_lines, load_last_row, row_line
+
+
+def small_params(**kw):
+    base = dict(n_cells=8, n_dead=0, seed=4, max_time=2.0, dump_interval=1.0, testing=1)
+    base.update(kw)
+    return SimParams(**base)
+
+
+def test_header_schema():
+    p = small_params()
+    h = header_lines(p).splitlines()
+    assert h[0] == "Seed, 4"
+    cols = h[1]
+    assert cols.startswith("Time,Particlebot_0_xpos, Particlebot_0_ypos,")
+    assert "Particlebot_7_rad," in cols
+    assert cols.endswith("Centroid X, Centroid Y, Distance")
+    # non-testing header has no per-bot columns
+    h2 = header_lines(p.replace(testing=0)).splitlines()
+    assert h2[1] == "Time,Centroid X, Centroid Y, Distance"
+
+
+def test_row_format():
+    p = small_params(n_cells=2, light_x=0.0, light_y=0.0)
+    pos = np.array([[1.0, 2.0], [3.0, 4.0]], np.float32)
+    vel = np.zeros((2, 2), np.float32)
+    rad = np.array([0.1, 0.2], np.float32)
+    row = row_line(p, 0.0, pos, vel, rad)
+    fields = [f.strip() for f in row.strip().split(",") if f.strip()]
+    # time + 2*2 pos + 2*2 vel + 2 rad + centroid x,y,dist = 14
+    assert len(fields) == 14
+    assert fields[0] == "0.000000"
+    assert float(fields[-3]) == pytest.approx(2.0)  # centroid x
+    assert float(fields[-2]) == pytest.approx(3.0)  # centroid y
+    assert float(fields[-1]) == pytest.approx(np.hypot(2.0, 3.0), rel=1e-5)
+
+
+def test_run_and_resume(tmp_path):
+    p = small_params()
+    csv = tmp_path / "out.csv"
+    sim = Simulation(p)
+    sim.run(csv_path=str(csv), echo=False)
+    lines = csv.read_text().splitlines()
+    assert lines[0].startswith("Seed")
+    data_rows = lines[2:]
+    assert len(data_rows) == 3  # t = 0, 1, 2
+
+    sim2 = Simulation.resume_from_csv(p, str(csv))
+    assert sim2.time == pytest.approx(2.0)
+    pos_a, vel_a, rad_a = sim.host_view()
+    pos_b, vel_b, rad_b = sim2.host_view()
+    # CSV has 6 decimals -> 1e-6 quantization
+    np.testing.assert_allclose(pos_a, pos_b, atol=1e-5)
+    np.testing.assert_allclose(rad_a, rad_b, atol=1e-5)
+
+
+def test_resume_requires_testing():
+    p = small_params(testing=0)
+    buf = io.StringIO()
+    d = CsvDumper(p, buf, echo=False)
+    d.dump(0.0, np.zeros((8, 2)), np.zeros((8, 2)), np.zeros(8))
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
+        f.write(buf.getvalue())
+        path = f.name
+    try:
+        with pytest.raises(ValueError):
+            load_last_row(p, path)
+    finally:
+        os.unlink(path)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    p = small_params(n_dead=3, time_to_dead=0.1)
+    sim = Simulation(p)
+    sim.step_chunk(50)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, p, sim.state)
+    p2, state2 = load_checkpoint(path)
+    assert p2 == p
+    import jax
+
+    a = jax.device_get(sim.state)
+    b = jax.device_get(state2)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    np.testing.assert_array_equal(np.asarray(a.phase), np.asarray(b.phase))
+    np.testing.assert_array_equal(np.asarray(a.dead), np.asarray(b.dead))
+    assert int(b.step) == 50
+
+    # resumed run continues identically to an uninterrupted one
+    sim_resumed = Simulation(p2, state=state2)
+    sim.step_chunk(50)
+    sim_resumed.step_chunk(50)
+    np.testing.assert_array_equal(sim.host_view()[0], sim_resumed.host_view()[0])

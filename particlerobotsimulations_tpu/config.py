@@ -177,8 +177,6 @@ class SimParams:
     # Must be a multiple of 16 (keeps grid_dim^2 lane-tile aligned).
     grid_dim: int = 0
     cell_capacity: int = 16
-    # Steps between host-visible metric flushes inside jitted scan chunks.
-    dtype: str = "float32"
 
     # ------------------------------------------------------------------ API
 

@@ -56,11 +56,36 @@ def _apply_overrides(params, args):
 
 
 def cmd_simulate(args) -> int:
+    import os
+
     from .config import load_cfg
     from .sim import Simulation
 
     params = _apply_overrides(load_cfg(args.cfg), args)
-    sim = Simulation(params)
+    resumed = False
+    if args.resume:
+        # reference 'cont' mode (main.cpp:886, 941-956): continue from the
+        # last complete CSV row; checkpoint resume is higher fidelity
+        if args.checkpoint and os.path.exists(args.checkpoint):
+            from .io.checkpoint import load_checkpoint
+            from .sim import Simulation as S
+
+            ck_params, ck_state = load_checkpoint(args.checkpoint)
+            # CLI overrides (e.g. a later --max-time) apply on top of the
+            # checkpointed params; structural mismatches raise on shapes
+            sim = S(_apply_overrides(ck_params, args), state=ck_state)
+            resumed = True
+        elif os.path.exists(params.csv_filename):
+            sim = Simulation.resume_from_csv(params, params.csv_filename)
+            resumed = True
+        else:
+            raise SystemExit(
+                "error: --resume needs an existing checkpoint or CSV "
+                f"({params.csv_filename})"
+            )
+        print(f"resumed at t = {sim.time:g} s", file=sys.stderr)
+    else:
+        sim = Simulation(params)
 
     recorder = None
     frame_cb = None
@@ -80,6 +105,8 @@ def cmd_simulate(args) -> int:
             checkpoint_path=args.checkpoint,
             checkpoint_every_dumps=args.checkpoint_every,
             frame_callback=frame_cb,
+            frame_every_steps=args.frame_every or None,
+            append_csv=resumed,
         )
     finally:
         if recorder is not None:
@@ -139,7 +166,12 @@ def main(argv=None) -> int:
     sim_p.add_argument("--video", action="store_true", help="record AVI video")
     sim_p.add_argument("--video-width", type=int, default=960)
     sim_p.add_argument("--video-height", type=int, default=540)
+    sim_p.add_argument("--frame-every", type=int, default=0,
+                       help="physics steps between frames "
+                            "(default: cfg DISPLAY_INTERVAL)")
     sim_p.add_argument("--quiet", action="store_true")
+    sim_p.add_argument("--resume", action="store_true",
+                       help="continue from checkpoint/CSV (reference 'cont' mode)")
     sim_p.add_argument("--checkpoint", type=str, default=None)
     sim_p.add_argument("--checkpoint-every", type=int, default=0,
                        help="checkpoint every N dumps")

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import sys
+from math import gcd as math_gcd
 from typing import Callable, Optional
 
 import jax
@@ -98,6 +99,36 @@ class Simulation:
     def step_chunk(self, n_steps: int):
         self.state = self._run_chunk(self.state, n_steps)
 
+    def health(self) -> dict:
+        """Runtime diagnostics: divergence and neighbor-table overflow.
+
+        The reference's only runtime checks are checkCudaErrors after each
+        launch; here we expose physics-level health: finite state, velocity
+        sanity and the cell-capacity overflow counter (dropped contacts)."""
+        import jax.numpy as jnp
+
+        from .config import ForceBackend
+        from .ops.pallas_stencil import assign_slots_slotmajor
+        from .state import active_mask
+
+        n = self.params.n_cells
+        pos, vel, rad = self.host_view()
+        out = {
+            "finite": bool(np.isfinite(pos).all() and np.isfinite(vel).all()),
+            "max_speed": float(np.linalg.norm(vel, axis=1).max()),
+            "min_pair_distance": None,
+            "cell_overflow": 0,
+        }
+        if n <= 4096:
+            d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+            np.fill_diagonal(d, np.inf)
+            out["min_pair_distance"] = float(d.min())
+        if self.params.resolved_backend() != ForceBackend.DENSE:
+            mask = active_mask(self.params, self.state.pos.shape[0])
+            _, overflow = assign_slots_slotmajor(self.params, self.state.pos, mask)
+            out["cell_overflow"] = int(jax.device_get(overflow))
+        return out
+
     def run(
         self,
         max_time: float | None = None,
@@ -106,6 +137,8 @@ class Simulation:
         checkpoint_path: str | None = None,
         checkpoint_every_dumps: int = 0,
         frame_callback: Optional[Callable[["Simulation"], None]] = None,
+        frame_every_steps: int | None = None,
+        append_csv: bool = False,
     ):
         """Run to ``max_time`` (params.max_time by default), dumping CSV rows
         every ``dump_interval`` exactly like the reference display loop.
@@ -113,36 +146,61 @@ class Simulation:
         The reference dumps *before* stepping each frame (main.cpp:359 vs
         update at main.cpp:361), so row t=0 is the initial condition and the
         last row is at the final dump boundary <= max_time.
+
+        ``frame_callback`` fires every ``frame_every_steps`` physics steps
+        (default: params.display_interval, matching the reference's
+        DISPLAY_INTERVAL frame cadence at main.cpp:370).
         """
         p = self.params
         total_steps = int(round((max_time or p.max_time) / p.timestep))
         dump_steps = p.dump_steps
         csv_path = csv_path or p.csv_filename
+        if frame_every_steps is None:
+            frame_every_steps = max(1, p.display_interval)
+        # host-visible boundaries: finest of dump and frame cadence
+        stride = (
+            math_gcd(dump_steps, frame_every_steps)
+            if frame_callback is not None
+            else dump_steps
+        )
 
-        out = open(csv_path, "w", encoding="utf-8")
+        out = open(csv_path, "a" if append_csv else "w", encoding="utf-8")
         dumper = CsvDumper(p, out, echo=echo)
+        if append_csv:
+            dumper._wrote_header = True
         dumps_done = 0
         try:
             done = int(jax.device_get(self.state.step))
-            while done < total_steps:
-                pos, vel, rad = self.host_view()
-                dumper.dump(done * p.timestep, pos, vel, rad)
-                if frame_callback is not None:
+
+            start_step = done
+
+            def boundary(step_count):
+                nonlocal dumps_done
+                if append_csv and step_count == start_step:
+                    # resuming: the row at the resume point is already in the
+                    # file — don't duplicate it
+                    if frame_callback is not None:
+                        frame_callback(self)
+                    return
+                if step_count % dump_steps == 0 or step_count == total_steps:
+                    pos, vel, rad = self.host_view()
+                    dumper.dump(step_count * p.timestep, pos, vel, rad)
+                    dumps_done += 1
+                    if (
+                        checkpoint_path
+                        and checkpoint_every_dumps
+                        and dumps_done % checkpoint_every_dumps == 0
+                    ):
+                        save_checkpoint(checkpoint_path, p, self.state)
+                if frame_callback is not None and step_count % frame_every_steps == 0:
                     frame_callback(self)
-                dumps_done += 1
-                if (
-                    checkpoint_path
-                    and checkpoint_every_dumps
-                    and dumps_done % checkpoint_every_dumps == 0
-                ):
-                    save_checkpoint(checkpoint_path, p, self.state)
-                chunk = min(dump_steps, total_steps - done)
+
+            boundary(done)
+            while done < total_steps:
+                chunk = min(stride, total_steps - done)
                 self.step_chunk(chunk)
                 done += chunk
-            pos, vel, rad = self.host_view()
-            dumper.dump(done * p.timestep, pos, vel, rad)
-            if frame_callback is not None:
-                frame_callback(self)
+                boundary(done)
             if checkpoint_path:
                 save_checkpoint(checkpoint_path, p, self.state)
         finally:

@@ -144,6 +144,41 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+def cmd_experiment(args) -> int:
+    from .config import load_cfg
+    from .models.experiments import (
+        dead_cell_robustness,
+        payload_transport,
+        phototaxis_speed,
+    )
+    from .parallel.sweep import default_mesh
+
+    params = _apply_overrides(load_cfg(args.cfg), args)
+    lo, hi = (int(x) for x in args.seeds.split(":"))
+    seeds = list(range(lo, hi))
+    mesh = default_mesh() if args.mesh else None
+
+    if args.kind == "robustness":
+        fracs = [float(f) for f in args.fractions.split(",")]
+        out = dead_cell_robustness(params, fracs, seeds, args.sim_seconds, mesh=mesh)
+        print("dead_fraction,approach_speed_units_per_s")
+        for f, v in zip(out["fractions"], out["approach_speed"]):
+            print(f"{f:g},{v:.6f}")
+    elif args.kind == "transport":
+        out = payload_transport(params, seeds, args.sim_seconds, mesh=mesh)
+        print("seed,payload_dx,payload_dy")
+        for s, d in zip(seeds, out["payload_displacement"]):
+            print(f"{s},{d[0]:.6f},{d[1]:.6f}")
+        print(f"# mean payload dx: {out['payload_mean_dx']:.6f}")
+    else:
+        out = phototaxis_speed(params, seeds, args.sim_seconds, mesh=mesh)
+        print("time_s,distance_mean,distance_std")
+        for t, m, s in zip(out["time_s"], out["distance_mean"], out["distance_std"]):
+            print(f"{t:g},{m:.6f},{s:.6f}")
+        print(f"# approach speed: {out['approach_speed']:.6f} units/s")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import importlib.util
     import os
@@ -188,6 +223,19 @@ def main(argv=None) -> int:
 
     b_p = sub.add_parser("bench", help="run the throughput benchmark")
     b_p.set_defaults(fn=cmd_bench)
+
+    ex_p = sub.add_parser(
+        "experiment", help="canned paper experiments (robustness, transport)"
+    )
+    ex_p.add_argument("kind", choices=["robustness", "transport", "speed"])
+    ex_p.add_argument("cfg")
+    ex_p.add_argument("--seeds", type=str, default="0:8")
+    ex_p.add_argument("--sim-seconds", type=float, default=600.0)
+    ex_p.add_argument("--fractions", type=str, default="0,0.1,0.2,0.3",
+                      help="dead-cell fractions (robustness)")
+    ex_p.add_argument("--mesh", action="store_true")
+    _add_overrides(ex_p)
+    ex_p.set_defaults(fn=cmd_experiment)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -81,7 +81,6 @@ def make_step(params: SimParams) -> Callable[[SimState], SimState]:
     collide = _collide_fn(params)
     phase_gate_steps = params.phase_update_steps
     cog_gate_steps = params.centroid_steps_interval
-    mask_const = None  # built lazily inside trace
 
     def step(state: SimState) -> SimState:
         mask = active_mask(params, n_pad)

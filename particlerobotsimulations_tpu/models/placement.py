@@ -22,17 +22,13 @@ Layouts:
 from __future__ import annotations
 
 import math
-from typing import Tuple
+
 
 import numpy as np
 
 from ..config import Config, SimParams
 
 _SQRT3 = math.sqrt(3.0)
-
-
-class PlacementResult(Tuple):
-    pass
 
 
 def place(params: SimParams, seed: int | None = None):

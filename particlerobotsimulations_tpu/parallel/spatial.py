@@ -13,8 +13,6 @@ per-device working set stays O(N/D * N) for the dense backend.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

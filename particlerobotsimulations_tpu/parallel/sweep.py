@@ -21,7 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import SimParams
-from ..engine import make_run_chunk_batched, make_step
+from ..engine import make_run_chunk_batched
 from ..models.placement import initial_state_arrays
 from ..state import SimState, make_state
 

@@ -10,8 +10,6 @@ resume, and optional headless video rendering.
 
 from __future__ import annotations
 
-import os
-import sys
 from math import gcd as math_gcd
 from typing import Callable, Optional
 
@@ -67,7 +65,6 @@ class Simulation:
             return cls(params)
         t, pos, vel, rad = row
         sim = cls(params)  # placement establishes dead flags / payload
-        host = jax.device_get(sim.state)
         n = params.n_cells
         new_state = sim.state._replace(
             pos=sim.state.pos.at[:n].set(pos),
@@ -105,8 +102,6 @@ class Simulation:
         The reference's only runtime checks are checkCudaErrors after each
         launch; here we expose physics-level health: finite state, velocity
         sanity and the cell-capacity overflow counter (dropped contacts)."""
-        import jax.numpy as jnp
-
         from .config import ForceBackend
         from .ops.pallas_stencil import assign_slots_slotmajor
         from .state import active_mask

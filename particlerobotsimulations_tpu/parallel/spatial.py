@@ -81,6 +81,27 @@ def make_sharded_step(params: SimParams, mesh: Mesh, axis: str = "bots"):
         time = state.step.astype(f32) * f32(dt)
         step_key = jax.random.fold_in(state.key, state.step)
 
+        # dead-cell injection (particlebot.cpp:178-194): every shard draws
+        # the same global scores from the replicated key, picks the global
+        # n_dead smallest, and keeps its own slice — no communication needed
+        dead = state.dead
+        if params.n_dead > 0:
+            def inject(d):
+                gscores = jax.random.uniform(step_key, (n_pad,))
+                gidx_all = jnp.arange(n_pad)
+                gmask = gidx_all < params.n_cells
+                gdead = jax.lax.all_gather(d, axis, tiled=True)
+                gscores = jnp.where(gmask & ~gdead, gscores, jnp.inf)
+                _, kill = jax.lax.top_k(-gscores, params.n_dead)
+                killed = jnp.zeros((n_pad,), bool).at[kill].set(True)
+                me = jax.lax.axis_index(axis)
+                return d | jax.lax.dynamic_slice(killed, (me * shard,), (shard,))
+
+            dead = jax.lax.cond(
+                state.step == params.dead_step, inject, lambda d: d, dead
+            )
+        state = state._replace(dead=dead)
+
         # --- phase (interval gated); min-dist is a cross-device min ------
         dist = light_distance(params, state.pos)
         min_d = jax.lax.pmin(

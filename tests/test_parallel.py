@@ -79,6 +79,22 @@ def test_spatial_sharding_matches_dense(eight_devices):
     )
 
 
+def test_spatial_dead_injection(eight_devices):
+    p = small_params(n_cells=48, n_dead=9, time_to_dead=0.1, phase_std=0.0)
+    sim = Simulation(p)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("bots",))
+    sharded_step, _ = make_sharded_step(p, mesh)
+    state = shard_state(sim.state, mesh)
+    for _ in range(15):  # crosses dead_step = 10
+        state = sharded_step(state)
+    dead = np.asarray(jax.device_get(state.dead))[: p.n_cells]
+    assert dead.sum() == 9
+    for _ in range(10):  # no re-injection
+        state = sharded_step(state)
+    dead = np.asarray(jax.device_get(state.dead))[: p.n_cells]
+    assert dead.sum() == 9
+
+
 def test_spatial_sharding_multi_step(eight_devices):
     p = small_params(n_cells=64, phase_std=0.0)
     sim = Simulation(p)

@@ -1,0 +1,97 @@
+"""Render subsystem tests: rasterizer content, AVI structure, recorder."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from particlerobotsimulations_tpu import SimParams, Simulation
+from particlerobotsimulations_tpu.render.avi import AviWriter
+from particlerobotsimulations_tpu.render.raster import (
+    BACKGROUND,
+    GROUND,
+    LIGHT,
+    OBSTACLE,
+    render_frame,
+)
+from particlerobotsimulations_tpu.render import native
+from particlerobotsimulations_tpu.render.video import VideoRecorder
+
+
+def test_frame_contains_scene_elements():
+    p = SimParams(
+        n_cells=1, n_dead=0, camera_x=0.0, camera_y=5.0,
+        light_x=-2.0, light_y=0.0,
+        circle_obstacles=((1.0, 0.0, 0.5),),
+    )
+    pos = np.array([[0.0, 0.0]], np.float32)
+    rad = np.array([0.3], np.float32)  # big so it covers pixels
+    colors = np.array([[0.1, 0.8, 0.2, 1.0]], np.float32)
+    frame = render_frame(p, pos, rad, colors, width=320, height=180)
+    assert frame.shape == (180, 320, 3)
+    flat = frame.reshape(-1, 3)
+    # ground fills most pixels; light, obstacle and the bot all painted
+    assert (flat == GROUND).all(axis=1).mean() > 0.5
+    assert (flat == LIGHT).all(axis=1).any()
+    assert (flat == OBSTACLE).all(axis=1).any()
+    bot_col = (np.clip(colors[0, :3], 0, 1) * 255).astype(np.uint8)
+    assert (flat == bot_col).all(axis=1).any()
+
+
+def test_native_matches_numpy_rasterizer():
+    if not native.available():
+        pytest.skip("native splatting library not built")
+    from particlerobotsimulations_tpu.render.raster import _splat_disks_numpy
+
+    rng = np.random.default_rng(0)
+    img_a = np.zeros((64, 96, 3), np.uint8)
+    img_b = np.zeros((64, 96, 3), np.uint8)
+    xs = rng.uniform(0, 96, 20).astype(np.float32)
+    ys = rng.uniform(0, 64, 20).astype(np.float32)
+    rs = rng.uniform(1, 6, 20).astype(np.float32)
+    cols = rng.integers(0, 255, (20, 3)).astype(np.uint8)
+    native.splat_disks(img_a, xs, ys, rs, cols)
+    _splat_disks_numpy(img_b, xs, ys, rs, cols, 1.0)
+    # identical disk membership test -> identical images
+    np.testing.assert_array_equal(img_a, img_b)
+
+
+def test_avi_roundtrip(tmp_path):
+    path = str(tmp_path / "t.avi")
+    frames = [
+        (np.full((32, 64, 3), v, np.uint8)) for v in (10, 128, 250)
+    ]
+    with AviWriter(path, 64, 32, fps=20) as w:
+        for f in frames:
+            w.write_frame(f)
+    data = open(path, "rb").read()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+    # total frames patched in avih
+    assert struct.unpack("<I", data[48:52])[0] == 3
+    # decode first movi frame and compare (DIB: bottom-up BGR)
+    movi = data.find(b"movi")
+    first = data.find(b"00db", movi)
+    size = struct.unpack("<I", data[first + 4 : first + 8])[0]
+    raw = np.frombuffer(data[first + 8 : first + 8 + size], np.uint8)
+    decoded = raw.reshape(32, 64, 3)[::-1, :, ::-1]
+    np.testing.assert_array_equal(decoded, frames[0])
+
+
+def test_avi_rejects_bad_frame(tmp_path):
+    w = AviWriter(str(tmp_path / "t.avi"), 64, 32)
+    with pytest.raises(ValueError):
+        w.write_frame(np.zeros((32, 60, 3), np.uint8))
+    w.close()
+
+
+def test_video_recorder(tmp_path):
+    p = SimParams(n_cells=12, n_dead=0, seed=2, max_time=5.0)
+    sim = Simulation(p)
+    path = str(tmp_path / "v.avi")
+    with VideoRecorder(p, path=path, width=160, height=120) as rec:
+        rec.capture(sim)
+        sim.step_chunk(100)
+        rec.capture(sim)
+    data = open(path, "rb").read()
+    assert struct.unpack("<I", data[48:52])[0] == 2

@@ -42,9 +42,13 @@ class Config(enum.IntEnum):
 
 
 class Control(enum.IntEnum):
-    """Actuation controller (reference: particlebot_kernel.cuh:52-55)."""
+    """Actuation controller (reference: particlebot_kernel.cuh:52-55 defines
+    only LIGHT_WAVE; FIXED_PHASE is a framework extension where per-bot
+    phases are scripted/learned instead of derived from the light — the
+    substrate for differentiable actuation optimization)."""
 
     LIGHT_WAVE = 0
+    FIXED_PHASE = 1
 
 
 class ForceBackend(enum.IntEnum):

@@ -36,7 +36,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from .config import ForceBackend, SimParams, padded_n
+from .config import Control, ForceBackend, SimParams, padded_n
 from .ops.actuation import update_radius
 from .ops.forces import dense_collide
 from .ops.grid import cellgrid_collide
@@ -114,12 +114,17 @@ def make_step(params: SimParams) -> Callable[[SimState], SimState]:
             state.centroid_ring,
         )
 
-        # 3. phase controller (interval gated)
-        phase_gate = state.step % phase_gate_steps == 0
-        new_phase = update_phase(
-            params, state.pos, state.phase, mask, jax.random.fold_in(step_key, 1)
-        )
-        phase = jnp.where(phase_gate, new_phase, state.phase)
+        # 3. phase controller (interval gated; FIXED_PHASE keeps the
+        #    scripted/learned offsets untouched)
+        if params.control == Control.LIGHT_WAVE:
+            phase_gate = state.step % phase_gate_steps == 0
+            new_phase = update_phase(
+                params, state.pos, state.phase, mask,
+                jax.random.fold_in(step_key, 1),
+            )
+            phase = jnp.where(phase_gate, new_phase, state.phase)
+        else:
+            phase = state.phase
 
         # 4. radius controller — consumes previous collide's force magnitudes
         rad = update_radius(

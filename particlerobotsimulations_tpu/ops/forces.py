@@ -48,7 +48,10 @@ class PairForces(NamedTuple):
 
 
 def _norm(v: jax.Array, axis: int = -1) -> jax.Array:
-    return jnp.sqrt(jnp.sum(v * v, axis=axis))
+    # max() keeps sqrt off exact zero: forward change is < 1e-15 (masked
+    # anyway) and the backward pass stays NaN-free — the whole step loop is
+    # differentiable (see models/optimize.py)
+    return jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=axis), 1.0e-30))
 
 
 def pair_forces(
@@ -87,7 +90,9 @@ def pair_forces(
 
     # --- magnet attraction ---------------------------------------------------
     gap = dist - collide_dist
-    safe_gap = jnp.maximum(gap, f32(_EPS))
+    # double-where: the untaken inverse-square branch must not see tiny gaps,
+    # or its (unused) gradient is inf and poisons the where backward pass
+    gap_inv2 = jnp.where(gap >= f32(MAGNET_INT2), gap, f32(1.0))
     ramp_slope = (
         attraction_ij / f32(MAGNET_INT2) ** 2 - f32(MAGNET_MIN_ATTR)
     ) / f32(MAGNET_INT2 - MAGNET_INT1)
@@ -97,7 +102,7 @@ def pair_forces(
         jnp.where(
             gap < f32(MAGNET_INT2),
             f32(MAGNET_MIN_ATTR) + ramp_slope * (gap - f32(MAGNET_INT1)),
-            attraction_ij / (safe_gap * safe_gap),
+            attraction_ij / (gap_inv2 * gap_inv2),
         ),
     )
     f_attract = attr_mag[..., None] * norm

@@ -1,0 +1,37 @@
+"""Differentiable-simulation tests: gradients flow through the physics scan
+and phase optimization actually improves the objective."""
+
+import jax
+import numpy as np
+import pytest
+
+from particlerobotsimulations_tpu import Config, SimParams, Simulation
+from particlerobotsimulations_tpu.models.optimize import (
+    make_phase_rollout,
+    optimize_phases,
+)
+
+
+def setup(n=24):
+    p = SimParams(n_cells=n, n_dead=0, seed=3, config=Config.HEX,
+                  light_x=-5.0, light_y=0.0)
+    sim = Simulation(p)
+    return p, sim.state
+
+
+def test_gradients_flow():
+    p, state = setup()
+    rollout = make_phase_rollout(p, n_steps=120)
+    n_pad = state.pos.shape[0]
+    phase0 = 0.1 * jax.random.normal(jax.random.key(1), (n_pad,))
+    g = jax.grad(rollout)(phase0, state)
+    g = np.asarray(g)[: p.n_cells]
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0.0, "zero gradient through the physics scan"
+
+
+def test_optimization_improves_objective():
+    p, state = setup(n=16)
+    ph, hist = optimize_phases(p, state, n_steps=150, iters=8, lr=0.3)
+    # minimizing centroid x: the final objective must beat the first
+    assert hist[-1] < hist[0] - 1e-5, f"no improvement: {hist[0]} -> {hist[-1]}"

@@ -258,4 +258,5 @@ class TestDenseCollide:
             payload,
             0.01,
         )
-        assert float(fa[0]) == 0.0 and float(fa[1]) == 0.0
+        # grad-safe norm floors |0-force| at 1e-15 — physically zero
+        assert float(fa[0]) < 1e-12 and float(fa[1]) < 1e-12

@@ -39,7 +39,7 @@ LIGHT = np.array([255, 230, 60], np.uint8)
 TRAIL = np.array([255, 0, 0], np.uint8)
 
 
-def _splat_disks_numpy(img, xs, ys, rs, colors, scale):
+def _splat_disks_numpy(img, xs, ys, rs, colors):
     """Paint filled disks (pixel coords, radius in pixels)."""
     h, w, _ = img.shape
     for x, y, r, col in zip(xs, ys, rs, colors):
@@ -128,6 +128,6 @@ def render_frame(
     if native.available():
         native.splat_disks(img, xs, ys, rs, cs)
     else:
-        _splat_disks_numpy(img, xs, ys, rs, cs, scale)
+        _splat_disks_numpy(img, xs, ys, rs, cs)
     # image y axis points down; world y up -> flip
     return img[::-1]

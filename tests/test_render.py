@@ -51,7 +51,7 @@ def test_native_matches_numpy_rasterizer():
     rs = rng.uniform(1, 6, 20).astype(np.float32)
     cols = rng.integers(0, 255, (20, 3)).astype(np.uint8)
     native.splat_disks(img_a, xs, ys, rs, cols)
-    _splat_disks_numpy(img_b, xs, ys, rs, cols, 1.0)
+    _splat_disks_numpy(img_b, xs, ys, rs, cols)
     # identical disk membership test -> identical images
     np.testing.assert_array_equal(img_a, img_b)
 

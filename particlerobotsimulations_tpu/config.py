@@ -181,6 +181,14 @@ class SimParams:
     # Must be a multiple of 16 (keeps grid_dim^2 lane-tile aligned).
     grid_dim: int = 0
     cell_capacity: int = 16
+    # Rebuild the cell-slot assignment every N steps (PALLAS backend).  The
+    # argsort-based assignment costs ~1/3 of a 10k-bot step; bots drift
+    # ~5e-4 cells/step, so brief reuse cannot drop a contact unless a pair
+    # closes > cell_size within the window (would need relative speed > 2.3
+    # at the default 4).  The reference reuses its sort for sort_interval =
+    # 180 s = 18000 steps (particlebot.cpp:256) with far weaker guarantees.
+    # 1 = rebuild every step (exact).
+    slot_rebuild_steps: int = 4
 
     # ------------------------------------------------------------------ API
 

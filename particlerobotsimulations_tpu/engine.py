@@ -74,15 +74,22 @@ def _inject_dead(params: SimParams, state: SimState, key: jax.Array) -> jax.Arra
 
 
 def make_step(params: SimParams) -> Callable[[SimState], SimState]:
-    """Build the jittable one-step transition for a fixed scenario."""
+    """Build the jittable one-step transition for a fixed scenario.
+
+    The returned ``step`` optionally accepts a precomputed cell-slot
+    assignment (``step(state, slot=...)``, PALLAS backend) — used by the
+    run-chunk wrappers to amortize the assignment over
+    ``slot_rebuild_steps`` steps.
+    """
     params = params.validate()
     dt = params.timestep
     n_pad = padded_n(params)
     collide = _collide_fn(params)
+    is_pallas = params.resolved_backend() == ForceBackend.PALLAS
     phase_gate_steps = params.phase_update_steps
     cog_gate_steps = params.centroid_steps_interval
 
-    def step(state: SimState) -> SimState:
+    def step(state: SimState, slot: jax.Array | None = None) -> SimState:
         mask = active_mask(params, n_pad)
         payload = payload_mask(params, n_pad)
         time = state.time(dt)
@@ -143,7 +150,12 @@ def make_step(params: SimParams) -> Callable[[SimState], SimState]:
         pos, vel = integrate(params, state.pos, state.vel, rad, dt)
 
         # 6. collide -> next-step velocity + force magnitudes
-        new_vel, abs_a, abs_r = collide(params, pos, vel, rad, mask, payload, dt)
+        if is_pallas and slot is not None:
+            new_vel, abs_a, abs_r = collide(
+                params, pos, vel, rad, mask, payload, dt, slot=slot
+            )
+        else:
+            new_vel, abs_a, abs_r = collide(params, pos, vel, rad, mask, payload, dt)
 
         return SimState(
             pos=pos,
@@ -161,17 +173,59 @@ def make_step(params: SimParams) -> Callable[[SimState], SimState]:
     return step
 
 
+def _slot_carry_fns(params: SimParams):
+    """(init_slot, refresh_slot) for the slot-reuse carry, or None."""
+    if (
+        params.resolved_backend() != ForceBackend.PALLAS
+        or params.slot_rebuild_steps <= 1
+    ):
+        return None
+    from .ops.pallas_stencil import assign_slots_slotmajor
+
+    n_pad = padded_n(params)
+    k = params.slot_rebuild_steps
+
+    def assign(state: SimState) -> jax.Array:
+        mask = active_mask(params, n_pad)
+        slot, _ = assign_slots_slotmajor(params, state.pos, mask)
+        return slot
+
+    def refresh(state: SimState, slot: jax.Array) -> jax.Array:
+        return jax.lax.cond(
+            state.step % k == 0, lambda: assign(state), lambda: slot
+        )
+
+    return assign, refresh
+
+
 def make_run_chunk(params: SimParams) -> Callable[[SimState, int], SimState]:
     """``run_chunk(state, n_steps)`` — n_steps of physics fused in one jitted
-    ``lax.scan``; n_steps is static (one compile per distinct chunk size)."""
+    ``lax.scan``; n_steps is static (one compile per distinct chunk size).
+
+    With the PALLAS backend, the cell-slot assignment is carried through the
+    scan and rebuilt every ``slot_rebuild_steps`` (fresh at chunk entry)."""
     step = make_step(params)
+    slot_fns = _slot_carry_fns(params)
 
     @functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
     def run_chunk(state: SimState, n_steps: int) -> SimState:
-        def body(s, _):
-            return step(s), None
+        if slot_fns is None:
+            def body(s, _):
+                return step(s), None
 
-        out, _ = jax.lax.scan(body, state, None, length=n_steps)
+            out, _ = jax.lax.scan(body, state, None, length=n_steps)
+            return out
+
+        assign, refresh = slot_fns
+
+        def body(carry, _):
+            s, slot = carry
+            slot = refresh(s, slot)
+            return (step(s, slot=slot), slot), None
+
+        (out, _), _ = jax.lax.scan(
+            body, (state, assign(state)), None, length=n_steps
+        )
         return out
 
     return run_chunk
@@ -180,14 +234,33 @@ def make_run_chunk(params: SimParams) -> Callable[[SimState, int], SimState]:
 def make_run_chunk_batched(params: SimParams) -> Callable:
     """vmapped variant: state pytree carries a leading batch axis (scenes)."""
     step = make_step(params)
-    vstep = jax.vmap(step)
+    slot_fns = _slot_carry_fns(params)
 
     @functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
     def run_chunk(state: SimState, n_steps: int) -> SimState:
-        def body(s, _):
-            return vstep(s), None
+        if slot_fns is None:
+            vstep = jax.vmap(step)
 
-        out, _ = jax.lax.scan(body, state, None, length=n_steps)
+            def body(s, _):
+                return vstep(s), None
+
+            out, _ = jax.lax.scan(body, state, None, length=n_steps)
+            return out
+
+        assign, refresh = slot_fns
+
+        def one(s, slot):
+            slot = refresh(s, slot)
+            return step(s, slot=slot), slot
+
+        vone = jax.vmap(one)
+
+        def body(carry, _):
+            return vone(*carry), None
+
+        (out, _), _ = jax.lax.scan(
+            body, (state, jax.vmap(assign)(state)), None, length=n_steps
+        )
         return out
 
     return run_chunk

@@ -56,6 +56,26 @@ def test_pallas_matches_stencil_and_dense():
     np.testing.assert_allclose(np.asarray(vp), np.asarray(vd), atol=2e-6)
 
 
+def test_pallas_chunking_with_slot_reuse():
+    # slot assignments are carried through the scan and rebuilt every
+    # slot_rebuild_steps; chunk boundaries aligned to that interval must
+    # reproduce a single-chunk run exactly
+    from particlerobotsimulations_tpu import Config, ForceBackend, Simulation
+
+    p = SimParams(
+        n_cells=48, n_dead=0, seed=5, config=Config.HEX, light_x=-5.0,
+        force_backend=ForceBackend.PALLAS, grid_dim=16,
+        slot_rebuild_steps=4,
+    )
+    a = Simulation(p)
+    b = Simulation(p)
+    a.step_chunk(40)
+    for _ in range(5):
+        b.step_chunk(8)  # multiple of slot_rebuild_steps
+    np.testing.assert_array_equal(a.host_view()[0], b.host_view()[0])
+    np.testing.assert_array_equal(a.host_view()[1], b.host_view()[1])
+
+
 def test_pallas_payload_factors():
     p = P.replace(n_dead=-1, attraction_factor=0.0, n_cells=2)
     n_pad = 128

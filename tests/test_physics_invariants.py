@@ -1,0 +1,70 @@
+"""Physics invariants.
+
+Momentum: every pair interaction (spring, dashpot, shear, magnet) is
+equal-and-opposite, so with friction and walls disabled the swarm's total
+momentum is conserved by the collide pass — a strong structural check on all
+force backends (the reference has no such test; its only guard is eyeballing
+videos).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from particlerobotsimulations_tpu import Config, ForceBackend, SimParams, Simulation
+
+
+def frictionless(n=64, backend=ForceBackend.DENSE):
+    return SimParams(
+        n_cells=n, n_dead=0, seed=11, config=Config.HEX,
+        friction=0.0, gravity=0.0,           # no stick-slip sink
+        boundary_damping=-1.0,
+        force_backend=backend,
+        phase_std=0.0,
+    )
+
+
+@pytest.mark.parametrize("backend", [ForceBackend.DENSE, ForceBackend.STENCIL])
+def test_momentum_conserved_by_pair_forces(backend):
+    p = frictionless(backend=backend)
+    sim = Simulation(p)
+    # give the swarm initial net momentum and internal motion
+    n = p.n_cells
+    rng = np.random.default_rng(0)
+    vel = rng.normal(0, 0.05, (n, 2)).astype(np.float32) + np.array(
+        [0.02, -0.01], np.float32
+    )
+    sim.state = sim.state._replace(vel=sim.state.vel.at[:n].set(vel))
+    p0 = vel.sum(axis=0)
+
+    sim.step_chunk(300)  # 3 sim-seconds, radii actuate, contacts happen
+    _, vel1, _ = sim.host_view()
+    pos1, _, _ = sim.host_view()
+    assert np.abs(pos1).max() < p.world_half - 1  # no wall contact
+    p1 = vel1.sum(axis=0, dtype=np.float64)
+    np.testing.assert_allclose(p1, p0, atol=5e-4)
+
+
+def test_shadow_modes_run_at_engine_level():
+    # wall between light and swarm: mode 1 (modulate last) and mode 2
+    # (never modulate) both run and produce different dynamics
+    base = SimParams(
+        n_cells=24, n_dead=0, seed=6, config=Config.HEX,
+        light_x=-5.0, light_y=0.0,
+        rect_obstacles=((-2.0, -1.8, -10.0, 10.0),),
+        phase_std=0.0,
+    )
+    # fully shadowed swarm, phase = -(Nx-1)*rise_period = -8: the actuation
+    # window t+phase in [0, 2*rise) opens at t in [8, 12) — "modulate last"
+    rads = {}
+    for mode in (1, 2):
+        sim = Simulation(base.replace(light_shadow=mode))
+        sim.step_chunk(900)  # t = 9, inside the late window
+        pos, vel, rad = sim.host_view()
+        assert np.isfinite(pos).all()
+        rads[mode] = rad
+    # mode 2 freezes every shadowed bot at min_radius (phase sentinel 1e10)
+    assert np.allclose(rads[2], base.min_radius, atol=1e-6)
+    # mode 1 modulates late: by t=9 the shadowed bots are expanding
+    assert rads[1].max() > base.min_radius + 1e-4

@@ -42,9 +42,14 @@ def update_radius(
     min_r = f32(params.min_radius)
     max_r = f32(params.max_radius)
 
+    # local clock: the reference (particlebot_kernel_impl.cuh:137-141) adds
+    # 100*period once if negative and only applies fmod when t1 >= period —
+    # a t1 still negative after that (phase < -100*period) stays negative,
+    # where the triangle target sits far below min_radius and the bot clamps
+    # to min_radius.  Reproduce the conditional wrap exactly.
     t1 = time + phase
     t1 = jnp.where(t1 < 0, t1 + 100.0 * period, t1)
-    t1 = t1 - period * jnp.floor(t1 / period)
+    t1 = jnp.where(t1 >= period, t1 - period * jnp.floor(t1 / period), t1)
     in_window = t1 < 2.0 * rise
 
     target = jnp.where(

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..config import SimParams, padded_n
+from ..config import Control, SimParams, padded_n
 from ..ops.actuation import update_radius
 from ..ops.forces import (
     attraction_scale,
@@ -31,13 +31,22 @@ from ..ops.phase import in_shadow, light_distance, PHASE_NEVER
 from ..state import SimState
 
 
-def make_sharded_step(params: SimParams, mesh: Mesh, axis: str = "bots"):
+def make_sharded_step(
+    params: SimParams,
+    mesh: Mesh,
+    axis: str = "bots",
+    batch_axis: str | None = None,
+):
     """One physics step with bots sharded over ``axis``.
 
     State layout inside: pos/vel/rad/... carry the bot dimension sharded;
     step/key/centroid_ring are replicated.  The collide pass all-gathers
     positions (the only cross-device traffic) and computes the local rows of
     the pair interaction.
+
+    With ``batch_axis`` set (composed dp x tp), the state carries a leading
+    scene-batch dimension sharded over ``batch_axis`` and each scene's bot
+    axis is sharded over ``axis`` — the mesh must have both axes.
     """
     params = params.validate()
     dt = params.timestep
@@ -102,31 +111,36 @@ def make_sharded_step(params: SimParams, mesh: Mesh, axis: str = "bots"):
             )
         state = state._replace(dead=dead)
 
-        # --- phase (interval gated); min-dist is a cross-device min ------
-        dist = light_distance(params, state.pos)
-        min_d = jax.lax.pmin(
-            jnp.min(jnp.where(mask, dist, jnp.inf)), axis_name=axis
-        )
-        base = (min_d - dist) / (2.0 * f32(params.min_radius)) * f32(
-            params.rise_period
-        )
-        if params.light_shadow:
-            shadowed = in_shadow(params, state.pos)
-            blocked = (
-                f32(-(params.nx - 1) * params.rise_period)
-                if params.light_shadow == 1
-                else f32(PHASE_NEVER)
+        # --- phase (interval gated); min-dist is a cross-device min.
+        #     FIXED_PHASE keeps scripted/learned offsets untouched, matching
+        #     engine.make_step (particlebot.cpp:211 gates on LIGHT_WAVE) -----
+        if params.control == Control.LIGHT_WAVE:
+            dist = light_distance(params, state.pos)
+            min_d = jax.lax.pmin(
+                jnp.min(jnp.where(mask, dist, jnp.inf)), axis_name=axis
             )
-            base = jnp.where(shadowed, blocked, base)
-        if params.phase_std:
-            noise_key = jax.random.fold_in(
-                jax.random.fold_in(step_key, 1), jax.lax.axis_index(axis)
+            base = (min_d - dist) / (2.0 * f32(params.min_radius)) * f32(
+                params.rise_period
             )
-            base = base + f32(params.phase_std) * jax.random.normal(
-                noise_key, base.shape, dtype=f32
-            )
-        gate = state.step % params.phase_update_steps == 0
-        phase = jnp.where(gate & mask, base, state.phase)
+            if params.light_shadow:
+                shadowed = in_shadow(params, state.pos)
+                blocked = (
+                    f32(-(params.nx - 1) * params.rise_period)
+                    if params.light_shadow == 1
+                    else f32(PHASE_NEVER)
+                )
+                base = jnp.where(shadowed, blocked, base)
+            if params.phase_std:
+                noise_key = jax.random.fold_in(
+                    jax.random.fold_in(step_key, 1), jax.lax.axis_index(axis)
+                )
+                base = base + f32(params.phase_std) * jax.random.normal(
+                    noise_key, base.shape, dtype=f32
+                )
+            gate = state.step % params.phase_update_steps == 0
+            phase = jnp.where(gate & mask, base, state.phase)
+        else:
+            phase = state.phase
 
         # --- radius / integrate (purely local) ---------------------------
         rad = update_radius(
@@ -171,8 +185,10 @@ def make_sharded_step(params: SimParams, mesh: Mesh, axis: str = "bots"):
         new_vel = jnp.where(mask[..., None], new_vel, 0.0)
 
         # --- centroid ring (psum over shards, replicated write) ----------
+        # from PRE-integrate positions, like engine.make_step and the
+        # reference (calcCOG before integrateSystem, particlebot.cpp:207/246)
         cog_gate = state.step % params.centroid_steps_interval == 0
-        local_sum = jnp.sum(jnp.where(mask[:, None], pos, 0.0), axis=0)
+        local_sum = jnp.sum(jnp.where(mask[:, None], state.pos, 0.0), axis=0)
         centroid = jax.lax.psum(local_sum, axis) / f32(params.n_cells)
         ring_idx = (
             state.step // params.centroid_steps_interval
@@ -191,9 +207,27 @@ def make_sharded_step(params: SimParams, mesh: Mesh, axis: str = "bots"):
             key=state.key, centroid_ring=ring,
         )
 
-    sharded = shard_map(
-        step_local, mesh=mesh, in_specs=(state_specs,), out_specs=state_specs
-    )
+    if batch_axis is None:
+        sharded = shard_map(
+            step_local, mesh=mesh, in_specs=(state_specs,), out_specs=state_specs
+        )
+    else:
+        # composed dp x tp: a leading scene-batch dim sharded over
+        # ``batch_axis``; each scene's bot axis sharded over ``axis``.  The
+        # local body vmaps the single-scene step over its batch shard — the
+        # bot-axis collectives (all_gather/pmin/psum) ride inside the vmap.
+        def prepend(spec: P) -> P:
+            return P(batch_axis, *spec)
+
+        state_specs = jax.tree.map(
+            prepend, state_specs, is_leaf=lambda x: isinstance(x, P)
+        )
+        sharded = shard_map(
+            jax.vmap(step_local),
+            mesh=mesh,
+            in_specs=(state_specs,),
+            out_specs=state_specs,
+        )
 
     @jax.jit
     def step(state: SimState) -> SimState:
@@ -202,14 +236,27 @@ def make_sharded_step(params: SimParams, mesh: Mesh, axis: str = "bots"):
     return step, state_specs
 
 
-def shard_state(state: SimState, mesh: Mesh, axis: str = "bots") -> SimState:
-    """Place a replicated SimState according to the sharded-step layout."""
-    def put(x, spec):
-        return jax.device_put(x, NamedSharding(mesh, spec))
+def shard_state(
+    state: SimState,
+    mesh: Mesh,
+    axis: str = "bots",
+    batch_axis: str | None = None,
+) -> SimState:
+    """Place a SimState according to the sharded-step layout.
 
+    With ``batch_axis`` (composed dp x tp), the state must carry a leading
+    scene-batch dim (from ``sweep.make_batch_state``)."""
     specs = SimState(
         pos=P(axis, None), vel=P(axis, None), rad=P(axis), phase=P(axis),
         dead=P(axis), abs_force_a=P(axis), abs_force_r=P(axis),
         step=P(), key=P(), centroid_ring=P(),
     )
+    if batch_axis is not None:
+        specs = jax.tree.map(
+            lambda s: P(batch_axis, *s), specs, is_leaf=lambda x: isinstance(x, P)
+        )
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
     return jax.tree.map(put, state, specs)

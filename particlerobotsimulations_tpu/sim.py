@@ -159,9 +159,18 @@ class Simulation:
             else dump_steps
         )
 
+        import os as _os
+
+        # on append, only skip the header if the target already has content
+        # (a fresh/missing file must still get one)
+        has_content = (
+            append_csv
+            and _os.path.exists(csv_path)
+            and _os.path.getsize(csv_path) > 0
+        )
         out = open(csv_path, "a" if append_csv else "w", encoding="utf-8")
         dumper = CsvDumper(p, out, echo=echo)
-        if append_csv:
+        if has_content:
             dumper._wrote_header = True
         dumps_done = 0
         try:
@@ -171,13 +180,17 @@ class Simulation:
 
             def boundary(step_count):
                 nonlocal dumps_done
-                if append_csv and step_count == start_step:
+                if has_content and step_count == start_step:
                     # resuming: the row at the resume point is already in the
-                    # file — don't duplicate it
+                    # file — don't duplicate it (a fresh/empty append target
+                    # still gets its t=0 row)
                     if frame_callback is not None:
                         frame_callback(self)
                     return
-                if step_count % dump_steps == 0 or step_count == total_steps:
+                # dump only on dump-interval boundaries, like the reference's
+                # gate (particlebot.cpp:309) — a max_time that is not a
+                # multiple of dump_interval gets no extra final row
+                if step_count % dump_steps == 0:
                     pos, vel, rad = self.host_view()
                     dumper.dump(step_count * p.timestep, pos, vel, rad)
                     dumps_done += 1

@@ -119,6 +119,14 @@ def test_negative_local_time():
     )
 
 
+def test_deeply_negative_local_time_clamps_to_min():
+    # phase < -100*period stays negative after the single +100*period unwrap
+    # (reference's conditional fmod, particlebot_kernel_impl.cuh:137-141):
+    # the triangle target sits far below min_radius -> contract + clamp
+    phase = -150.0 * P.wave_period()
+    assert run(0.15, phase, time=0.0) == pytest.approx(P.min_radius)
+
+
 def test_dead_and_frozen_skip():
     assert run(0.09, 0.0, time=1.0, dead=True) == pytest.approx(0.09)
     assert run(0.09, 2.0e7, time=1.0) == pytest.approx(0.09)  # shadow sentinel

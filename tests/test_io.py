@@ -63,6 +63,25 @@ def test_run_and_resume(tmp_path):
     np.testing.assert_allclose(rad_a, rad_b, atol=1e-5)
 
 
+def test_no_extra_row_off_dump_boundary(tmp_path):
+    # max_time not a multiple of dump_interval: the reference's dump gate
+    # (particlebot.cpp:309) writes nothing at the final partial step
+    p = small_params(max_time=1.5)
+    csv = tmp_path / "out.csv"
+    Simulation(p).run(csv_path=str(csv), echo=False)
+    data_rows = csv.read_text().splitlines()[2:]
+    assert len(data_rows) == 2  # t = 0, 1 only
+
+
+def test_append_to_missing_csv_writes_header(tmp_path):
+    p = small_params()
+    csv = tmp_path / "fresh.csv"
+    Simulation(p).run(csv_path=str(csv), echo=False, append_csv=True)
+    lines = csv.read_text().splitlines()
+    assert lines[0].startswith("Seed")  # header present despite append mode
+    assert len(lines[2:]) == 3
+
+
 def test_resume_requires_testing():
     p = small_params(testing=0)
     buf = io.StringIO()

@@ -79,6 +79,77 @@ def test_spatial_sharding_matches_dense(eight_devices):
     )
 
 
+def test_composed_dp_tp_matches_unsharded(eight_devices):
+    # (4, 2) mesh: scene batch on "data", bot axis on "bots" — must equal the
+    # unsharded vmapped step scene-for-scene
+    p = small_params(n_cells=64, phase_std=0.0, force_backend=ForceBackend.DENSE)
+    seeds = [0, 1, 2, 3]
+    batch = make_batch_state(p, seeds)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "bots"))
+    step_2d, _ = make_sharded_step(p, mesh, batch_axis="data")
+    st = shard_state(batch, mesh, batch_axis="data")
+    ref = batch
+    vstep = jax.jit(jax.vmap(make_step(p)))
+    for _ in range(5):
+        st = step_2d(st)
+        ref = vstep(ref)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(st.pos)), np.asarray(jax.device_get(ref.pos)),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(st.vel)), np.asarray(jax.device_get(ref.vel)),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(st.centroid_ring)),
+        np.asarray(jax.device_get(ref.centroid_ring)),
+        atol=1e-5,
+    )
+
+
+def test_spatial_centroid_matches_engine(eight_devices):
+    # the sharded step's centroid ring must match the single-chip engine's
+    # (pre-integrate positions — ADVICE round-1 finding)
+    p = small_params(n_cells=64, phase_std=0.0, force_backend=ForceBackend.DENSE)
+    sim = Simulation(p)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("bots",))
+    sharded_step, _ = make_sharded_step(p, mesh)
+    ref_step = jax.jit(make_step(p))
+    st, ref = shard_state(sim.state, mesh), sim.state
+    for _ in range(3):
+        st = sharded_step(st)
+        ref = ref_step(ref)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(st.centroid_ring)),
+        np.asarray(jax.device_get(ref.centroid_ring)),
+        atol=1e-6,
+    )
+
+
+def test_spatial_fixed_phase_preserved(eight_devices):
+    # Control.FIXED_PHASE: the sharded step must not overwrite scripted
+    # phases (ADVICE round-1 finding)
+    from particlerobotsimulations_tpu import Control
+
+    # short phase interval so a handful of steps crosses the update gate
+    # (hundreds of queued 8-way CPU collectives starve the rendezvous pool)
+    p = small_params(
+        n_cells=32, control=Control.FIXED_PHASE, phase_update_interval=0.05
+    )
+    sim = Simulation(p)
+    scripted = jnp.linspace(0.0, 3.0, sim.state.phase.shape[0])
+    state = sim.state._replace(phase=scripted)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("bots",))
+    sharded_step, _ = make_sharded_step(p, mesh)
+    st = shard_state(state, mesh)
+    for _ in range(int(p.phase_update_steps) + 1):  # cross a phase-update step
+        st = sharded_step(st)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(st.phase)), np.asarray(scripted), atol=0
+    )
+
+
 def test_spatial_dead_injection(eight_devices):
     p = small_params(n_cells=48, n_dead=9, time_to_dead=0.1, phase_std=0.0)
     sim = Simulation(p)

@@ -93,7 +93,9 @@ def cmd_simulate(args) -> int:
         from .render.video import VideoRecorder
 
         recorder = VideoRecorder(params, width=args.video_width,
-                                 height=args.video_height)
+                                 height=args.video_height,
+                                 codec=args.video_codec,
+                                 quality=args.video_quality)
         frame_cb = recorder.capture
         print(f"recording video -> {recorder.path}", file=sys.stderr)
 
@@ -201,6 +203,10 @@ def main(argv=None) -> int:
     sim_p.add_argument("--video", action="store_true", help="record AVI video")
     sim_p.add_argument("--video-width", type=int, default=960)
     sim_p.add_argument("--video-height", type=int, default=540)
+    sim_p.add_argument("--video-codec", choices=["MJPG", "DIB "], default="MJPG",
+                       help="MJPG (compressed, default) or 'DIB ' (raw)")
+    sim_p.add_argument("--video-quality", type=int, default=90,
+                       help="JPEG quality 1-100 for MJPG")
     sim_p.add_argument("--frame-every", type=int, default=0,
                        help="physics steps between frames "
                             "(default: cfg DISPLAY_INTERVAL)")

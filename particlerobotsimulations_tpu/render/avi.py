@@ -1,8 +1,10 @@
-"""Minimal uncompressed AVI writer (RIFF / 'DIB ' BGR24 frames).
+"""Minimal AVI writer: MJPEG ('MJPG') or uncompressed ('DIB ') streams.
 
 Replaces the reference's OpenCV ``cv::VideoWriter`` XVID pipeline
 (/root/reference/postprocess.cu:99-116) without external codec
-dependencies: every player handles uncompressed DIB AVI.  Frame rate
+dependencies.  The default MJPG stream stores one baseline JPEG per frame
+(encoded by native/mjpeg.cpp, ~10-50x smaller than raw) — a format every
+stock player opens; 'DIB ' writes raw bottom-up BGR24 frames.  Frame rate
 defaults to the reference's 20 FPS (postprocess.cu:102).
 
 The writer streams frames to disk and patches the RIFF size fields plus the
@@ -16,20 +18,35 @@ from typing import BinaryIO
 
 import numpy as np
 
+from . import native
+
 
 def _fourcc(s: str) -> bytes:
     return s.encode("ascii")
 
 
 class AviWriter:
-    def __init__(self, path: str, width: int, height: int, fps: int = 20):
+    def __init__(
+        self,
+        path: str,
+        width: int,
+        height: int,
+        fps: int = 20,
+        codec: str = "MJPG",
+        quality: int = 90,
+    ):
         if width % 4 or height % 4:
             raise ValueError("width/height must be multiples of 4")
+        if codec not in ("MJPG", "DIB "):
+            raise ValueError(f"unsupported codec {codec!r}")
         self.path = path
         self.w = width
         self.h = height
         self.fps = fps
-        self.frame_size = width * height * 3
+        self.codec = codec
+        self.quality = quality
+        self.frame_size = width * height * 3  # raw size == suggested buffer
+        self._chunk_id = _fourcc("00dc" if codec == "MJPG" else "00db")
         self._frames = 0
         self._index: list[tuple[int, int]] = []
         self._fp: BinaryIO | None = open(path, "wb")
@@ -58,7 +75,7 @@ class AviWriter:
         )
         strh = struct.pack(
             "<4s4sIHHIIIIIIIIhhhh",
-            _fourcc("vids"), _fourcc("DIB "),
+            _fourcc("vids"), _fourcc(self.codec),
             0,             # dwFlags
             0, 0,          # wPriority, wLanguage
             0,             # dwInitialFrames
@@ -70,9 +87,13 @@ class AviWriter:
             0,             # dwSampleSize
             0, 0, self.w, self.h,  # rcFrame
         )
+        # BITMAPINFOHEADER: biCompression = 'MJPG' fourcc or BI_RGB (0)
+        compression = (
+            struct.unpack("<I", _fourcc("MJPG"))[0] if self.codec == "MJPG" else 0
+        )
         strf = struct.pack(
             "<IiiHHIIiiII",
-            40, self.w, self.h, 1, 24, 0, self.frame_size, 0, 0, 0, 0
+            40, self.w, self.h, 1, 24, compression, self.frame_size, 0, 0, 0, 0
         )
 
         def chunk(cc, payload):
@@ -82,8 +103,6 @@ class AviWriter:
         strl = chunk("strh", strh) + chunk("strf", strf)
         strl_list = _fourcc("LIST") + struct.pack("<I", 4 + len(strl)) + _fourcc("strl") + strl
         hdrl = chunk("avih", avih) + strl_list
-        self._avih_pos = 12 + 8 + 8 + 16  # offset of total-frames field in avih
-        self._strh_len_pos = None  # computed below
         hdrl_list = _fourcc("LIST") + struct.pack("<I", 4 + len(hdrl)) + _fourcc("hdrl") + hdrl
         fp.write(hdrl_list)
         # movi list (size patched)
@@ -97,16 +116,22 @@ class AviWriter:
         """rgb: (h, w, 3) uint8, row 0 = top of image."""
         if rgb.shape != (self.h, self.w, 3):
             raise ValueError(f"frame must be ({self.h}, {self.w}, 3)")
-        # DIB frames are bottom-up BGR
-        bgr = rgb[::-1, :, ::-1]
-        data = np.ascontiguousarray(bgr).tobytes()
+        if self.codec == "MJPG":
+            data = native.encode_jpeg(rgb, quality=self.quality)
+        else:
+            # DIB frames are bottom-up BGR
+            bgr = rgb[::-1, :, ::-1]
+            data = np.ascontiguousarray(bgr).tobytes()
         fp = self._fp
+        # idx1 offsets are conventionally measured from the 'movi' list
+        # fourcc, so the first chunk sits at offset 4 (not 0) — strict
+        # parsers mis-seek otherwise
         offset = fp.tell() - self._movi_start + 4
-        fp.write(_fourcc("00db") + struct.pack("<I", len(data)))
+        fp.write(self._chunk_id + struct.pack("<I", len(data)))
         fp.write(data)
         if len(data) % 2:
             fp.write(b"\0")
-        self._index.append((offset - 4, len(data)))
+        self._index.append((offset, len(data)))
         self._frames += 1
 
     # ---------------------------------------------------------------- close
@@ -116,10 +141,10 @@ class AviWriter:
             return
         fp = self._fp
         movi_end = fp.tell()
-        # idx1
+        # idx1 (AVIIF_KEYFRAME on every entry: MJPEG frames are independent)
         fp.write(_fourcc("idx1") + struct.pack("<I", 16 * len(self._index)))
         for off, size in self._index:
-            fp.write(_fourcc("00db") + struct.pack("<III", 0x10, off, size))
+            fp.write(self._chunk_id + struct.pack("<III", 0x10, off, size))
         total = fp.tell()
         # patch sizes
         fp.seek(4)

@@ -41,6 +41,18 @@ def _load():
             ctypes.c_int,
         ]
         lib.splat_disks.restype = None
+        try:
+            lib.encode_jpeg.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+            ]
+            lib.encode_jpeg.restype = ctypes.c_int
+        except AttributeError:
+            lib.encode_jpeg = None  # older build of the library
         _LIB = lib
         break
     return _LIB
@@ -48,6 +60,36 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def encode_jpeg(rgb: np.ndarray, quality: int = 90) -> bytes:
+    """Baseline JPEG bytes for an (h, w, 3) uint8 RGB frame.
+
+    Uses the native encoder (native/mjpeg.cpp); falls back to PIL when the
+    library isn't built."""
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    h, w, c = rgb.shape
+    assert c == 3
+    lib = _load()
+    if lib is not None and getattr(lib, "encode_jpeg", None) is not None:
+        out = np.empty(w * h * 3 + 65536, np.uint8)
+        n = lib.encode_jpeg(
+            rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            w,
+            h,
+            quality,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out.size,
+        )
+        if n > 0:
+            return out[:n].tobytes()
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
 
 
 def splat_disks(img: np.ndarray, xs, ys, rs, cols) -> None:

@@ -26,10 +26,14 @@ class VideoRecorder:
         width: int = 960,
         height: int = 540,
         fps: int = 20,
+        codec: str = "MJPG",
+        quality: int = 90,
     ):
         self.params = params
         self.path = path or params.video_filename
-        self.writer = AviWriter(self.path, width, height, fps=fps)
+        self.writer = AviWriter(
+            self.path, width, height, fps=fps, codec=codec, quality=quality
+        )
         self.width = width
         self.height = height
         self._frame_idx = 0

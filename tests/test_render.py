@@ -61,7 +61,7 @@ def test_avi_roundtrip(tmp_path):
     frames = [
         (np.full((32, 64, 3), v, np.uint8)) for v in (10, 128, 250)
     ]
-    with AviWriter(path, 64, 32, fps=20) as w:
+    with AviWriter(path, 64, 32, fps=20, codec="DIB ") as w:
         for f in frames:
             w.write_frame(f)
     data = open(path, "rb").read()
@@ -76,6 +76,67 @@ def test_avi_roundtrip(tmp_path):
     raw = np.frombuffer(data[first + 8 : first + 8 + size], np.uint8)
     decoded = raw.reshape(32, 64, 3)[::-1, :, ::-1]
     np.testing.assert_array_equal(decoded, frames[0])
+
+
+def test_jpeg_encode_roundtrip():
+    # native encoder output must decode (PIL) back to ~the input frame
+    p = SimParams(
+        n_cells=1, n_dead=0, camera_x=0.0, camera_y=5.0,
+        light_x=-2.0, light_y=0.0,
+    )
+    pos = np.array([[0.0, 0.0]], np.float32)
+    rad = np.array([0.3], np.float32)
+    colors = np.array([[0.1, 0.8, 0.2, 1.0]], np.float32)
+    frame = render_frame(p, pos, rad, colors, width=320, height=184)
+    data = native.encode_jpeg(frame, quality=90)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert len(data) < frame.nbytes / 4  # actually compressed
+    import io
+
+    from PIL import Image
+
+    dec = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert dec.shape == frame.shape
+    err = np.abs(dec.astype(np.int32) - frame.astype(np.int32))
+    assert err.mean() < 3.0  # flat scene: tiny mean quantization error
+
+
+def test_mjpeg_avi_roundtrip(tmp_path):
+    path = str(tmp_path / "m.avi")
+    rng = np.random.default_rng(3)
+    frames = []
+    for v in (40, 120, 220):
+        f = np.full((32, 64, 3), v, np.uint8)
+        f[8:16, 8:24] = rng.integers(0, 255, (8, 16, 3), dtype=np.uint8)
+        frames.append(f)
+    with AviWriter(path, 64, 32, fps=20) as w:  # MJPG default
+        for f in frames:
+            w.write_frame(f)
+    data = open(path, "rb").read()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+    assert struct.unpack("<I", data[48:52])[0] == 3  # avih dwTotalFrames
+    assert b"MJPG" in data[:200]  # strh fccHandler + strf biCompression
+    # walk idx1: offsets measured from the 'movi' list fourcc (first = 4)
+    movi_fourcc = data.find(b"movi")
+    idx1 = data.find(b"idx1")
+    import io
+
+    from PIL import Image
+
+    n_entries = struct.unpack("<I", data[idx1 + 4 : idx1 + 8])[0] // 16
+    assert n_entries == 3
+    for i, f in enumerate(frames):
+        ckid, flags, off, size = struct.unpack(
+            "<4sIII", data[idx1 + 8 + 16 * i : idx1 + 24 + 16 * i]
+        )
+        assert ckid == b"00dc" and flags == 0x10
+        chunk_pos = movi_fourcc + off
+        assert data[chunk_pos : chunk_pos + 4] == b"00dc"
+        jpeg = data[chunk_pos + 8 : chunk_pos + 8 + size]
+        dec = np.asarray(Image.open(io.BytesIO(jpeg)).convert("RGB"))
+        err = np.abs(dec.astype(np.int32) - f.astype(np.int32))
+        assert err.mean() < 6.0  # noise block costs a bit of JPEG error
 
 
 def test_avi_rejects_bad_frame(tmp_path):

@@ -202,8 +202,13 @@ def make_run_chunk(params: SimParams) -> Callable[[SimState, int], SimState]:
     """``run_chunk(state, n_steps)`` — n_steps of physics fused in one jitted
     ``lax.scan``; n_steps is static (one compile per distinct chunk size).
 
-    With the PALLAS backend, the cell-slot assignment is carried through the
-    scan and rebuilt every ``slot_rebuild_steps`` (fresh at chunk entry)."""
+    The PALLAS backend runs the table-resident loop (engine_table.py): all
+    state stays in the slot-major cell table between rebuilds, eliminating
+    the per-step scatter/gather plumbing entirely."""
+    if params.validate().resolved_backend() == ForceBackend.PALLAS:
+        from .engine_table import make_run_chunk_table
+
+        return make_run_chunk_table(params)
     step = make_step(params)
     slot_fns = _slot_carry_fns(params)
 
@@ -233,6 +238,10 @@ def make_run_chunk(params: SimParams) -> Callable[[SimState, int], SimState]:
 
 def make_run_chunk_batched(params: SimParams) -> Callable:
     """vmapped variant: state pytree carries a leading batch axis (scenes)."""
+    if params.validate().resolved_backend() == ForceBackend.PALLAS:
+        from .engine_table import make_run_chunk_table_batched
+
+        return make_run_chunk_table_batched(params)
     step = make_step(params)
     slot_fns = _slot_carry_fns(params)
 

@@ -1,0 +1,361 @@
+"""Table-resident step loop for the PALLAS backend — the production hot path.
+
+Round-1 profiling (docs/RESULTS.md) showed the Pallas force kernel is only
+~1/3 of the step at 10k bots; the rest was per-step plumbing: the 8-wide row
+scatter into the cell table, the 4-wide row gather back, and the bot-order
+elementwise tail.  This module removes that plumbing from the per-step path
+entirely by keeping ALL simulation state resident in the slot-major cell
+table between slot rebuilds:
+
+* state lives as flat ``(total_ext,)`` field arrays, where rows
+  ``[0, C*G*G)`` are the kernel's slot-major table and the trailing
+  ``n_pad`` rows are a parking strip for bots the table dropped (capacity
+  overflow / padding) — parked bots keep integrating, they just exert no
+  pair forces (same semantics as the bot-order engine's ``slot < total``
+  guard);
+* phase / radius / integrate / friction run elementwise in table space
+  (they are per-bot laws — the empty slots just compute masked garbage,
+  which costs nothing at these sizes);
+* the force kernel consumes reshaped ``(C, G*G)`` views directly — no
+  scatter, no gather;
+* interval-gated ops (phase law every ``phase_update_interval``, centroid
+  every ``centroid_int``, dead injection once) run under ``lax.cond`` so
+  their cost is actually paid 1/1200 steps instead of being computed and
+  thrown away (the round-1 engine ``where``-selected them);
+* every ``slot_rebuild_steps`` the state is gathered to bot order with one
+  wide row gather, slots are reassigned (bbox re-anchor + argsort), and one
+  wide row scatter rebuilds the table.
+
+Op order per step matches ``engine.make_step`` (and the reference,
+/root/reference/particlebot.cpp:170-300) exactly: dead injection, centroid
+(pre-integrate positions), phase, radius (one-step-lag force feedback),
+integrate, collide.  The RNG *streams* for phase noise and dead choice are
+shaped per-slot instead of per-bot, so sampled values differ from
+``engine.make_step`` while the distributions match — same relationship the
+reference's host ``rand()`` has to either (documented in README deviations).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import Control, SimParams, padded_n
+from .ops.actuation import update_radius
+from .ops.forces import (
+    attraction_scale,
+    friction_velocity_update,
+    obstacle_forces,
+)
+from .ops.pallas_stencil import (
+    FIELDS as KERNEL_FIELDS,
+    _stencil_forces_pallas,
+    assign_slots_slotmajor,
+)
+from .ops.phase import update_phase
+from .state import SimState, active_mask, payload_mask
+
+# flat table field order; the first 7 are the kernel's input planes
+TABLE_FIELDS = (
+    "px", "py", "vx", "vy", "rad", "val", "afac",   # kernel inputs
+    "phase", "dead", "aa", "ar", "pay",             # carried per-bot state
+)
+assert TABLE_FIELDS[: len(KERNEL_FIELDS)] == KERNEL_FIELDS
+N_TF = len(TABLE_FIELDS)
+
+
+class TableState(NamedTuple):
+    """Scan carry for the table-resident loop."""
+
+    fields: dict            # str -> (total_ext,) f32
+    slot: jax.Array         # (n_pad,) extended slot per bot (parking resolved)
+    step: jax.Array         # () int32
+    key: jax.Array          # PRNG key (whole-run, folded per step)
+    centroid_ring: jax.Array
+
+
+def _geometry(params: SimParams):
+    g, cap = params.resolved_grid_dim(), params.cell_capacity
+    total = g * g * cap
+    n_pad = padded_n(params)
+    return total, total + n_pad, n_pad
+
+
+def _extend_slot(params: SimParams, slot: jax.Array) -> jax.Array:
+    """Map dropped bots (slot == total) into the parking strip rows."""
+    total, _, n_pad = _geometry(params)
+    park = total + jnp.arange(n_pad, dtype=jnp.int32)
+    return jnp.where(slot < total, slot, park)
+
+
+def _bot_rows(params: SimParams, state: SimState):
+    """(n_pad, N_TF) per-bot field rows from a bot-order SimState."""
+    n_pad = state.pos.shape[0]
+    mask = active_mask(params, n_pad)
+    payload = payload_mask(params, n_pad)
+    f32 = jnp.float32
+    return jnp.stack(
+        [
+            state.pos[:, 0], state.pos[:, 1],
+            state.vel[:, 0], state.vel[:, 1],
+            state.rad,
+            mask.astype(f32),
+            attraction_scale(params, payload),
+            state.phase,
+            state.dead.astype(f32),
+            state.abs_force_a,
+            state.abs_force_r,
+            payload.astype(f32),
+        ],
+        axis=-1,
+    )
+
+
+def enter_table(params: SimParams, state: SimState) -> TableState:
+    """Scatter a bot-order SimState into table residency (chunk entry)."""
+    _, total_ext, n_pad = _geometry(params)
+    mask = active_mask(params, n_pad)
+    slot, _ = assign_slots_slotmajor(params, state.pos, mask)
+    se = _extend_slot(params, slot)
+    rows = _bot_rows(params, state)
+    flat = jnp.zeros((total_ext, N_TF), jnp.float32).at[se].set(rows)
+    fields = {k: flat[:, j] for j, k in enumerate(TABLE_FIELDS)}
+    return TableState(
+        fields=fields,
+        slot=se,
+        step=state.step,
+        key=state.key,
+        centroid_ring=state.centroid_ring,
+    )
+
+
+def exit_table(params: SimParams, ts: TableState) -> SimState:
+    """Gather table residency back to a bot-order SimState (chunk exit)."""
+    flat = jnp.stack([ts.fields[k] for k in TABLE_FIELDS], axis=-1)
+    rows = flat[ts.slot]  # (n_pad, N_TF) — one wide row gather
+    return SimState(
+        pos=rows[:, 0:2],
+        vel=rows[:, 2:4],
+        rad=rows[:, 4],
+        phase=rows[:, 7],
+        dead=rows[:, 8] > 0.5,
+        abs_force_a=rows[:, 9],
+        abs_force_r=rows[:, 10],
+        step=ts.step,
+        key=ts.key,
+        centroid_ring=ts.centroid_ring,
+    )
+
+
+def _rebuild(params: SimParams, ts: TableState) -> TableState:
+    """Re-anchor + reassign slots: one wide gather, argsort, one wide scatter."""
+    _, total_ext, n_pad = _geometry(params)
+    flat = jnp.stack([ts.fields[k] for k in TABLE_FIELDS], axis=-1)
+    rows = flat[ts.slot]
+    pos = rows[:, 0:2]
+    mask = rows[:, 5] > 0.5
+    slot, _ = assign_slots_slotmajor(params, pos, mask)
+    se = _extend_slot(params, slot)
+    new_flat = jnp.zeros((total_ext, N_TF), jnp.float32).at[se].set(rows)
+    fields = {k: new_flat[:, j] for j, k in enumerate(TABLE_FIELDS)}
+    return ts._replace(fields=fields, slot=se)
+
+
+def _inject_dead_table(params: SimParams, f: dict, key: jax.Array) -> jax.Array:
+    """Kill n_dead occupied, not-yet-dead slots (cf. engine._inject_dead)."""
+    alive = (f["val"] > 0.5) & (f["dead"] < 0.5)
+    scores = jax.random.uniform(key, f["dead"].shape)
+    scores = jnp.where(alive, scores, jnp.inf)
+    _, kill = jax.lax.top_k(-scores, params.n_dead)
+    return f["dead"].at[kill].set(1.0)
+
+
+def _gates(params: SimParams, step: jax.Array):
+    """Scalar (dead, cog, phase) gate predicates for a given step counter."""
+    dead_gate = (
+        step == params.dead_step
+        if params.n_dead > 0
+        else jnp.asarray(False)
+    )
+    return (
+        dead_gate,
+        step % params.centroid_steps_interval == 0,
+        step % params.phase_update_steps == 0,
+    )
+
+
+def make_table_step(params: SimParams):
+    """One physics step on a TableState; op order == engine.make_step."""
+    params = params.validate()
+    dt = params.timestep
+    g, cap = params.resolved_grid_dim(), params.cell_capacity
+    total, total_ext, _ = _geometry(params)
+    f32 = jnp.float32
+    cog_gate_steps = params.centroid_steps_interval
+
+    def step(
+        ts: TableState,
+        dead_gate: jax.Array,
+        cog_gate: jax.Array,
+        phase_gate: jax.Array,
+    ) -> TableState:
+        """The gates are SCALAR step predicates supplied by the caller so
+        they survive vmap as real ``lax.cond``s (a batched predicate would
+        decay every gate to a computed-then-discarded select)."""
+        f = dict(ts.fields)
+        time = ts.step.astype(f32) * f32(dt)
+        step_key = jax.random.fold_in(ts.key, ts.step)
+        val = f["val"] > 0.5
+
+        # 1. dead-cell injection (one-shot, under cond)
+        if params.n_dead > 0:
+            f["dead"] = jax.lax.cond(
+                dead_gate,
+                lambda: _inject_dead_table(params, f, step_key),
+                lambda: f["dead"],
+            )
+
+        # 2. centroid ring (pre-integrate positions, 1/centroid_int steps)
+        def write_ring():
+            cx = jnp.sum(f["px"] * f["val"]) / f32(params.n_cells)
+            cy = jnp.sum(f["py"] * f["val"]) / f32(params.n_cells)
+            ring_idx = (ts.step // cog_gate_steps) % params.centroid_steps
+            return jax.lax.dynamic_update_slice(
+                ts.centroid_ring,
+                jnp.stack([cx, cy])[None, :],
+                (ring_idx, 0),
+            )
+
+        ring = jax.lax.cond(cog_gate, write_ring, lambda: ts.centroid_ring)
+
+        # 3. phase controller (1/phase_update_interval steps, under cond —
+        #    the raycast + noise draw actually only run on gate steps)
+        if params.control == Control.LIGHT_WAVE:
+            pos_t = jnp.stack([f["px"], f["py"]], axis=-1)
+
+            def do_phase():
+                return update_phase(
+                    params, pos_t, f["phase"], val,
+                    jax.random.fold_in(step_key, 1),
+                )
+
+            f["phase"] = jax.lax.cond(phase_gate, do_phase, lambda: f["phase"])
+
+        # 4. radius controller (previous step's force magnitudes)
+        f["rad"] = update_radius(
+            params, f["rad"], f["phase"], f["aa"], f["ar"],
+            f["dead"] > 0.5, val, time, dt,
+        )
+
+        # 5. integrate + boundary
+        pos = jnp.stack([f["px"], f["py"]], axis=-1)
+        vel = jnp.stack([f["vx"], f["vy"]], axis=-1)
+        dpos = pos + vel * f32(dt)
+        hi = (f32(params.world_half) - f["rad"])[..., None]
+        lo = (-f32(params.world_half) + f["rad"])[..., None]
+        out = (dpos > hi) | (dpos < lo)
+        dpos = jnp.clip(dpos, lo, hi)
+        vel = jnp.where(out, vel * f32(params.boundary_damping), vel)
+        f["px"], f["py"] = dpos[..., 0], dpos[..., 1]
+        f["vx"], f["vy"] = vel[..., 0], vel[..., 1]
+
+        # 6. collide: kernel reads the (C, G*G) views directly
+        tables = {
+            k: f[k][:total].reshape(cap, g * g) for k in KERNEL_FIELDS
+        }
+        fx, fy, fa, fr = _stencil_forces_pallas(params, tables)
+        pad = total_ext - total
+        force = jnp.stack(
+            [
+                jnp.concatenate([fx.reshape(total), jnp.zeros((pad,), f32)]),
+                jnp.concatenate([fy.reshape(total), jnp.zeros((pad,), f32)]),
+            ],
+            axis=-1,
+        )
+        f["aa"] = jnp.concatenate([fa.reshape(total), jnp.zeros((pad,), f32)])
+        f["ar"] = jnp.concatenate([fr.reshape(total), jnp.zeros((pad,), f32)])
+
+        f_obs, m_obs = obstacle_forces(params, dpos, vel, f["rad"])
+        force = force + f_obs
+        f["ar"] = f["ar"] + m_obs
+
+        new_vel = friction_velocity_update(
+            params, vel, force, f["pay"] > 0.5, dt
+        )
+        new_vel = jnp.where(val[..., None], new_vel, 0.0)
+        f["vx"], f["vy"] = new_vel[..., 0], new_vel[..., 1]
+
+        return TableState(
+            fields=f, slot=ts.slot, step=ts.step + 1, key=ts.key,
+            centroid_ring=ring,
+        )
+
+    return step
+
+
+def make_run_chunk_table(params: SimParams):
+    """Drop-in replacement for engine.make_run_chunk on the PALLAS backend:
+    ``run_chunk(state, n_steps) -> state`` with table-resident stepping."""
+    params = params.validate()
+    step = make_table_step(params)
+    k = max(1, params.slot_rebuild_steps)
+
+    @functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
+    def run_chunk(state: SimState, n_steps: int) -> SimState:
+        ts = enter_table(params, state)
+        first_step = ts.step
+
+        def body(ts: TableState, _):
+            s = ts.step
+            ts = jax.lax.cond(
+                (s % k == 0) & (s != first_step),
+                lambda t: _rebuild(params, t),
+                lambda t: t,
+                ts,
+            )
+            gates = _gates(params, s)
+            return step(ts, *gates), None
+
+        ts, _ = jax.lax.scan(body, ts, None, length=n_steps)
+        return exit_table(params, ts)
+
+    return run_chunk
+
+
+def make_run_chunk_table_batched(params: SimParams):
+    """Batched (scene-axis) table-resident loop for sweeps / multi-chip dp.
+
+    Scenes must advance in lockstep (all APIs that build batches start every
+    scene at the same step and step them together); the interval gates use
+    scene 0's counter so they stay scalar ``lax.cond``s instead of decaying
+    to computed-and-discarded selects under vmap.
+    """
+    params = params.validate()
+    step = make_table_step(params)
+    k = max(1, params.slot_rebuild_steps)
+    venter = jax.vmap(lambda s: enter_table(params, s))
+    vexit = jax.vmap(lambda t: exit_table(params, t))
+    # gates stay unmapped scalars -> real conds inside the vmapped step
+    vstep = jax.vmap(step, in_axes=(0, None, None, None))
+    vrebuild = jax.vmap(lambda t: _rebuild(params, t))
+
+    @functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
+    def run_chunk(state: SimState, n_steps: int) -> SimState:
+        ts = venter(state)
+        first_step = ts.step[0]
+
+        def body(ts: TableState, _):
+            s0 = ts.step[0]
+            ts = jax.lax.cond(
+                (s0 % k == 0) & (s0 != first_step), vrebuild, lambda t: t, ts
+            )
+            gates = _gates(params, s0)
+            return vstep(ts, *gates), None
+
+        ts, _ = jax.lax.scan(body, ts, None, length=n_steps)
+        return vexit(ts)
+
+    return run_chunk

@@ -58,10 +58,12 @@ from .ops.pallas_stencil import (
 from .ops.phase import update_phase
 from .state import SimState, active_mask, payload_mask
 
-# flat table field order; the first 7 are the kernel's input planes
+# flat table field order; the first 7 are the kernel's input planes.
+# "bid" stores each row's bot index (exact in f32 up to 2^24) so the
+# bot->row map can be reconstructed after incremental rebuilds shuffle rows.
 TABLE_FIELDS = (
     "px", "py", "vx", "vy", "rad", "val", "afac",   # kernel inputs
-    "phase", "dead", "aa", "ar", "pay",             # carried per-bot state
+    "phase", "dead", "aa", "ar", "pay", "bid",      # carried per-bot state
 )
 assert TABLE_FIELDS[: len(KERNEL_FIELDS)] == KERNEL_FIELDS
 N_TF = len(TABLE_FIELDS)
@@ -71,7 +73,7 @@ class TableState(NamedTuple):
     """Scan carry for the table-resident loop."""
 
     fields: dict            # str -> (total_ext,) f32
-    slot: jax.Array         # (n_pad,) extended slot per bot (parking resolved)
+    origin: jax.Array       # (2,) f32 — grid anchor, fixed for the chunk
     step: jax.Array         # () int32
     key: jax.Array          # PRNG key (whole-run, folded per step)
     centroid_ring: jax.Array
@@ -109,8 +111,21 @@ def _bot_rows(params: SimParams, state: SimState):
             state.abs_force_a,
             state.abs_force_r,
             payload.astype(f32),
+            jnp.arange(n_pad, dtype=f32),
         ],
         axis=-1,
+    )
+
+
+def _anchored_origin(params: SimParams, pos, mask) -> jax.Array:
+    """Grid anchor with an EDGE_MARGIN-cell offset so the blob sits away
+    from the wrapped edge columns (the incremental rebuild's linear lane
+    windows need those empty; see ops/table_rebuild.py)."""
+    from .ops.grid import cell_origin
+    from .ops.table_rebuild import EDGE_MARGIN
+
+    return cell_origin(params, pos, mask) - jnp.float32(
+        EDGE_MARGIN * params.cutoff()
     )
 
 
@@ -118,24 +133,42 @@ def enter_table(params: SimParams, state: SimState) -> TableState:
     """Scatter a bot-order SimState into table residency (chunk entry)."""
     _, total_ext, n_pad = _geometry(params)
     mask = active_mask(params, n_pad)
-    slot, _ = assign_slots_slotmajor(params, state.pos, mask)
+    origin = _anchored_origin(params, state.pos, mask)
+    slot, _ = assign_slots_slotmajor(params, state.pos, mask, origin=origin)
     se = _extend_slot(params, slot)
     rows = _bot_rows(params, state)
     flat = jnp.zeros((total_ext, N_TF), jnp.float32).at[se].set(rows)
     fields = {k: flat[:, j] for j, k in enumerate(TABLE_FIELDS)}
     return TableState(
         fields=fields,
-        slot=se,
+        origin=origin,
         step=state.step,
         key=state.key,
         centroid_ring=state.centroid_ring,
     )
 
 
+def _slot_of_bot(params: SimParams, fields: dict) -> jax.Array:
+    """(n_pad,) row index per bot, reconstructed from the bid plane.
+
+    Occupied rows scatter their row index to their bot id; everything else
+    (parked bots, padding) defaults to its parking-strip identity row."""
+    total, total_ext, n_pad = _geometry(params)
+    occupied = fields["val"][:total] > 0.5
+    bid = jnp.where(
+        occupied, fields["bid"][:total].astype(jnp.int32), n_pad  # oob -> drop
+    )
+    base = total + jnp.arange(n_pad, dtype=jnp.int32)
+    return base.at[bid].set(
+        jnp.arange(total, dtype=jnp.int32), mode="drop"
+    )
+
+
 def exit_table(params: SimParams, ts: TableState) -> SimState:
     """Gather table residency back to a bot-order SimState (chunk exit)."""
+    slot = _slot_of_bot(params, ts.fields)
     flat = jnp.stack([ts.fields[k] for k in TABLE_FIELDS], axis=-1)
-    rows = flat[ts.slot]  # (n_pad, N_TF) — one wide row gather
+    rows = flat[slot]  # (n_pad, N_TF) — one wide row gather
     return SimState(
         pos=rows[:, 0:2],
         vel=rows[:, 2:4],
@@ -151,17 +184,42 @@ def exit_table(params: SimParams, ts: TableState) -> SimState:
 
 
 def _rebuild(params: SimParams, ts: TableState) -> TableState:
-    """Re-anchor + reassign slots: one wide gather, argsort, one wide scatter."""
+    """Exact full rebuild: re-anchor + argsort reassignment via bot order.
+
+    This is the fallback path (and the semantics anchor) for the cheap
+    incremental rebuild in ops/table_rebuild.py."""
     _, total_ext, n_pad = _geometry(params)
+    slot = _slot_of_bot(params, ts.fields)
     flat = jnp.stack([ts.fields[k] for k in TABLE_FIELDS], axis=-1)
-    rows = flat[ts.slot]
+    rows = flat[slot]
     pos = rows[:, 0:2]
     mask = rows[:, 5] > 0.5
-    slot, _ = assign_slots_slotmajor(params, pos, mask)
-    se = _extend_slot(params, slot)
+    origin = _anchored_origin(params, pos, mask)
+    new_slot, _ = assign_slots_slotmajor(params, pos, mask, origin=origin)
+    se = _extend_slot(params, new_slot)
     new_flat = jnp.zeros((total_ext, N_TF), jnp.float32).at[se].set(rows)
     fields = {k: new_flat[:, j] for j, k in enumerate(TABLE_FIELDS)}
-    return ts._replace(fields=fields, slot=se)
+    return ts._replace(fields=fields, origin=origin)
+
+
+def _smart_rebuild(params: SimParams, ts: TableState) -> TableState:
+    """Incremental compaction rebuild with exact fallback.
+
+    Between rebuilds bots move < 1 cell, so reassignment is a local stencil
+    compaction (ops/table_rebuild.py) — no sort, no random-index scatter.
+    Falls back to the argsort rebuild when its preconditions fail (a >1-cell
+    move, a cell over capacity, or parked bots needing reinstatement)."""
+    from .ops.table_rebuild import incremental_rebuild
+
+    new_fields, ok = incremental_rebuild(
+        params, ts.fields, TABLE_FIELDS, ts.origin
+    )
+    return jax.lax.cond(
+        ok,
+        lambda t: t._replace(fields=new_fields),
+        lambda t: _rebuild(params, t),
+        ts,
+    )
 
 
 def _inject_dead_table(params: SimParams, f: dict, key: jax.Array) -> jax.Array:
@@ -289,7 +347,7 @@ def make_table_step(params: SimParams):
         f["vx"], f["vy"] = new_vel[..., 0], new_vel[..., 1]
 
         return TableState(
-            fields=f, slot=ts.slot, step=ts.step + 1, key=ts.key,
+            fields=f, origin=ts.origin, step=ts.step + 1, key=ts.key,
             centroid_ring=ring,
         )
 
@@ -312,7 +370,7 @@ def make_run_chunk_table(params: SimParams):
             s = ts.step
             ts = jax.lax.cond(
                 (s % k == 0) & (s != first_step),
-                lambda t: _rebuild(params, t),
+                lambda t: _smart_rebuild(params, t),
                 lambda t: t,
                 ts,
             )
@@ -340,7 +398,7 @@ def make_run_chunk_table_batched(params: SimParams):
     vexit = jax.vmap(lambda t: exit_table(params, t))
     # gates stay unmapped scalars -> real conds inside the vmapped step
     vstep = jax.vmap(step, in_axes=(0, None, None, None))
-    vrebuild = jax.vmap(lambda t: _rebuild(params, t))
+    vrebuild = jax.vmap(lambda t: _smart_rebuild(params, t))
 
     @functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
     def run_chunk(state: SimState, n_steps: int) -> SimState:

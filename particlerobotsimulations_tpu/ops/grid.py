@@ -42,7 +42,20 @@ class CellTable(NamedTuple):
     overflow: jax.Array   # () int32 — bots dropped for exceeding capacity
 
 
-def cell_ids(params: SimParams, pos: jax.Array, mask: jax.Array) -> jax.Array:
+def cell_origin(params: SimParams, pos: jax.Array, mask: jax.Array) -> jax.Array:
+    """(2,) grid anchor: the swarm's bounding-box min (active bots only)."""
+    big = jnp.float32(4.0 * params.world_half)
+    ox = jnp.min(jnp.where(mask, pos[..., 0], big))
+    oy = jnp.min(jnp.where(mask, pos[..., 1], big))
+    return jnp.stack([ox, oy])
+
+
+def cell_ids(
+    params: SimParams,
+    pos: jax.Array,
+    mask: jax.Array,
+    origin: jax.Array | None = None,
+) -> jax.Array:
     """Wrapped cell id per bot; padding routed out of range (dropped later).
 
     The grid is anchored to the swarm's bounding box (dynamic origin =
@@ -50,15 +63,16 @@ def cell_ids(params: SimParams, pos: jax.Array, mask: jax.Array) -> jax.Array:
     small table densely, which is what makes the stencil backends fast.  The
     modular wrap (reference: calcGridHash power-of-2 wrap,
     particlebot_kernel_impl.cuh:114-120) keeps stragglers safe — aliased
-    far-apart pairs are eliminated by the true-distance cutoff.
+    far-apart pairs are eliminated by the true-distance cutoff.  An explicit
+    ``origin`` pins the anchor (the table loop keeps it fixed per chunk so
+    incremental rebuilds see consistent lane arithmetic).
     """
     g = params.resolved_grid_dim()
     h = jnp.float32(params.cutoff())
-    big = jnp.float32(4.0 * params.world_half)
-    ox = jnp.min(jnp.where(mask, pos[..., 0], big))
-    oy = jnp.min(jnp.where(mask, pos[..., 1], big))
-    ix = jnp.floor((pos[..., 0] - ox) / h).astype(jnp.int32) % g
-    iy = jnp.floor((pos[..., 1] - oy) / h).astype(jnp.int32) % g
+    if origin is None:
+        origin = cell_origin(params, pos, mask)
+    ix = jnp.floor((pos[..., 0] - origin[0]) / h).astype(jnp.int32) % g
+    iy = jnp.floor((pos[..., 1] - origin[1]) / h).astype(jnp.int32) % g
     cid = iy * g + ix
     return jnp.where(mask, cid, g * g)
 

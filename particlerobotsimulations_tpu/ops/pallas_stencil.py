@@ -60,13 +60,13 @@ N_BLOCKS = len(OFFSETS)
 LANE_CHUNK = 512
 
 
-def assign_slots_slotmajor(params: SimParams, pos, mask):
+def assign_slots_slotmajor(params: SimParams, pos, mask, origin=None):
     """(n_pad,) flat slot per bot in the (C, G*G) slot-major layout:
     ``slot = rank * G*G + cell_id`` (rank = index within the cell).
     Out-of-range value G*G*C marks dropped bots (padding / overflow)."""
     g, cap = params.resolved_grid_dim(), params.cell_capacity
     n = pos.shape[0]
-    cid = cell_ids(params, pos, mask)
+    cid = cell_ids(params, pos, mask, origin=origin)
 
     order = jnp.argsort(cid)
     scid = cid[order]
@@ -192,6 +192,8 @@ def _stencil_forces_pallas(params: SimParams, tables):
 
     # pre-shift candidate blocks with exact 2-D wrap: value read at cell
     # (y, x) is table[(y+dy) % G, (x+dx) % G]
+    # (measured: packing all fields into one roll per offset is a wash —
+    # XLA already batches these)
     blocks = []
     for dx, dy in OFFSETS:
         fields = []

@@ -1,0 +1,229 @@
+"""Incremental slot rebuild — a structured compaction kernel, no sorting.
+
+The full slot rebuild (engine_table._rebuild) routes all state through bot
+order: one wide row gather, an argsort-based reassignment, one wide row
+scatter.  Random-index gathers/scatters and sorts are latency monsters on
+TPU (measured ~620 us per rebuild at 10k bots — more than the whole physics
+step), yet between rebuilds every bot moves at most ONE cell (the same
+speed bound that makes slot reuse safe at all; see
+config.slot_rebuild_steps).  So the rebuild is really a local stencil
+operation:
+
+* each occupied row's true cell differs from its current lane by
+  dx, dy in {-1, 0, 1};
+* for every target lane, candidate rows live in the 9 neighbor lanes, i.e.
+  at LINEAR lane offsets {dy*G + dx} — compile-time constants;
+* per target lane, matched candidates are compacted into slots 0..k-1 by
+  rank-and-place: rank = running count over (offset, sublane) order via a
+  strictly-lower-triangular matmul (MXU) per offset; placement is a one-hot
+  (C, C, L) broadcast contraction (VPU) — the same shape family as the
+  force kernel's pair blocks.
+
+Unlike the force kernel's pre-rolled blocks, the neighbor offsets here are
+taken as STATIC SLICES of one halo-extended plane stack: the kernel's
+window is assembled from (2*n_halo + 1) adjacent 128-lane tiles of the same
+array via staggered BlockSpec index maps, so the XLA glue does no rolls and
+no 9x data duplication.  Linear lane arithmetic equals the true 2-D wrap
+for the y axis exactly (lane = iy*G + ix); for the x axis it is wrong only
+when a read crosses a row boundary, which can only matter if the wrapped
+edge columns (ix = 0 or G-1) are occupied or receive movers.  The engine
+keeps the blob away from those columns (origin margin, EDGE_MARGIN cells)
+and this module's ``ok`` result falls back to the exact rebuild whenever
+the guard fails — along with >1-cell moves, cell-capacity overflow, and
+parked bots.
+
+The anchor origin stays FIXED for a whole run chunk (it re-anchors at
+every chunk entry and every fallback); swarm drift just wraps, like the
+reference's power-of-2 hash wrap
+(/root/reference/particlebot_kernel_impl.cuh:114-120).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SimParams
+
+# all 9 neighbor offsets (dx, dy) — movers can go any of 8 ways, plus stay
+OFFSETS9 = (
+    (0, 0),
+    (1, 0), (-1, 0), (0, 1), (0, -1),
+    (1, 1), (1, -1), (-1, 1), (-1, -1),
+)
+
+CHUNK = 128          # target-lane tile; G*G is always a multiple of 256
+EDGE_MARGIN = 2      # empty wrapped-edge columns the engine maintains
+_FAR = 99            # dx/dy sentinel for empty rows (never matches)
+
+
+def _n_halo(g: int) -> int:
+    """Halo tiles per side: cover lane offsets up to g+1."""
+    return -(-(g + 1) // CHUNK)
+
+
+def _make_compact_kernel(n_fields: int, cap: int, g: int):
+    """Kernel over (2*n_halo+1) window tiles of (n_fields+2, C, CHUNK).
+
+    Plane layout: [0..n_fields) data fields, then dx, dy (f32, _FAR for
+    empty rows).  Outputs the compacted data planes and the per-lane
+    incoming count."""
+    nh = _n_halo(g)
+    base = nh * CHUNK  # window-local index of target lane t=0
+
+    def kernel(*refs):
+        (*win_refs, out_ref, cnt_ref) = refs
+        window = jnp.concatenate([r[...] for r in win_refs], axis=-1)
+        f32 = jnp.float32
+        row = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 1)
+        tri = (col < row).astype(f32)  # strictly lower
+
+        count = jnp.zeros((1, CHUNK), f32)
+        acc = [jnp.zeros((cap, CHUNK), f32) for _ in range(n_fields)]
+        c2 = jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1).astype(f32)
+
+        for ox, oy in OFFSETS9:
+            lo = base + oy * g + ox  # static window-local slice start
+            cand = window[:, :, lo : lo + CHUNK]
+            m = jnp.logical_and(
+                cand[n_fields] == f32(-ox), cand[n_fields + 1] == f32(-oy)
+            ).astype(f32)
+            # rank of each matched candidate = matched-before-it here
+            # (strict-lower-tri matmul over sublanes) + running count
+            pre = jax.lax.dot_general(
+                tri, m,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            rank = pre + count
+            # one-hot place: P[c1, c2, l] = (rank == c2) & matched
+            p = (rank[:, None, :] == c2).astype(f32) * m[:, None, :]
+            for j in range(n_fields):
+                acc[j] = acc[j] + jnp.sum(
+                    p * cand[j][:, None, :], axis=0
+                )
+            count = count + jnp.sum(m, axis=0, keepdims=True)
+
+        for j in range(n_fields):
+            out_ref[j, :, :] = acc[j]
+        cnt_ref[0, :] = count[0, :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _compact(params: SimParams, n_fields: int, planes: jax.Array):
+    """planes (n_fields+2, C, G*G) -> (compacted (n_fields, C, G*G),
+    per-lane incoming count (G*G,))."""
+    g, cap = params.resolved_grid_dim(), params.cell_capacity
+    gg = g * g
+    nh = _n_halo(g)
+    halo = nh * CHUNK
+    nfp = n_fields + 2
+
+    # wrap halos: lane arithmetic is exact for y (lane = iy*G + ix), and the
+    # x edge columns are guarded empty by the caller
+    padded = jnp.concatenate(
+        [planes[:, :, gg - halo :], planes, planes[:, :, :halo]], axis=-1
+    )
+
+    kernel = _make_compact_kernel(n_fields, cap, g)
+    n_tiles = 2 * nh + 1
+    in_specs = [
+        pl.BlockSpec(
+            (nfp, cap, CHUNK),
+            functools.partial(lambda k, i: (0, 0, i + k), k),
+            memory_space=pltpu.VMEM,
+        )
+        for k in range(n_tiles)
+    ]
+    out, cnt = pl.pallas_call(
+        kernel,
+        grid=(gg // CHUNK,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(
+                (n_fields, cap, CHUNK), lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_fields, cap, gg), jnp.float32),
+            jax.ShapeDtypeStruct((1, gg), jnp.float32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(*([padded] * n_tiles))
+    return out, cnt[0]
+
+
+def _wrap_center(d: jax.Array, g: int) -> jax.Array:
+    return ((d + g // 2) % g) - g // 2
+
+
+def incremental_rebuild(
+    params: SimParams,
+    fields: dict,           # str -> (total_ext,) f32, engine_table layout
+    field_names: tuple,     # ordered field names (engine_table.TABLE_FIELDS)
+    origin: jax.Array,      # (2,) f32 — the chunk's fixed grid anchor
+):
+    """Returns (new_fields, ok).  ``ok`` False means the caller must run the
+    exact full rebuild instead (>1-cell move, overflow, occupied wrapped
+    edge columns, or parked bots)."""
+    g, cap = params.resolved_grid_dim(), params.cell_capacity
+    gg = g * g
+    total = gg * cap
+    f32 = jnp.float32
+    h = f32(params.cutoff())
+    nf = len(field_names)
+
+    planes = jnp.stack(
+        [fields[k][:total] for k in field_names]
+    ).reshape(nf, cap, gg)
+    val = planes[field_names.index("val")] > 0.5
+    px = planes[field_names.index("px")]
+    py = planes[field_names.index("py")]
+
+    # true wrapped cell vs current lane position
+    ixt = jnp.floor((px - origin[0]) / h).astype(jnp.int32) % g
+    iyt = jnp.floor((py - origin[1]) / h).astype(jnp.int32) % g
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cap, gg), 1)
+    ixc = lane % g
+    dx = _wrap_center(ixt - ixc, g)
+    dy = _wrap_center(iyt - lane // g, g)
+
+    moved_far = jnp.any(val & ((jnp.abs(dx) > 1) | (jnp.abs(dy) > 1)))
+    parked = jnp.any(fields["val"][total:] > 0.5)
+    # x-edge guard: linear lane windows mis-wrap across rows, harmless only
+    # while the wrapped edge columns (0 and G-1) neither hold nor receive
+    # rows.  The engine anchors the blob EDGE_MARGIN (=2) cells in, so the
+    # guard (margin 1) leaves a full cell of drift slack before the exact
+    # fallback + re-anchor has to fire.
+    edge = jnp.any(
+        val
+        & (
+            (ixc == 0) | (ixc == g - 1) | (ixt == 0) | (ixt == g - 1)
+        )
+    )
+
+    dxf = jnp.where(val, dx.astype(f32), f32(_FAR))
+    dyf = jnp.where(val, dy.astype(f32), f32(_FAR))
+    stacked = jnp.concatenate([planes, dxf[None], dyf[None]], axis=0)
+
+    new_planes, incoming = _compact(params, nf, stacked)
+    overflow = jnp.any(incoming > cap)
+
+    ok = ~(moved_far | parked | overflow | edge)
+
+    new_fields = {
+        k: jnp.concatenate(
+            [new_planes[j].reshape(total), fields[k][total:]]
+        )
+        for j, k in enumerate(field_names)
+    }
+    return new_fields, ok

@@ -97,6 +97,71 @@ def test_table_loop_batched_matches_unbatched():
         )
 
 
+def test_incremental_rebuild_invariants():
+    # after an incremental rebuild every bot is present exactly once, sits in
+    # the lane matching its true (wrapped) cell, and field rows are intact
+    from particlerobotsimulations_tpu.engine_table import (
+        TABLE_FIELDS, _geometry, enter_table, make_table_step, _gates,
+    )
+    from particlerobotsimulations_tpu.ops.table_rebuild import incremental_rebuild
+
+    p = params_(n_cells=200)
+    g, cap = p.resolved_grid_dim(), p.cell_capacity
+    total, total_ext, n_pad = _geometry(p)
+    sim = Simulation(p)
+    ts = jax.jit(lambda s: enter_table(p, s))(sim.state)
+    step = make_table_step(p)
+    for i in range(4):  # drift positions a little
+        ts = step(ts, *_gates(p, ts.step))
+
+    new_fields, ok = incremental_rebuild(p, ts.fields, TABLE_FIELDS, ts.origin)
+    assert bool(ok)
+
+    val = np.asarray(new_fields["val"][:total]) > 0.5
+    bid = np.asarray(new_fields["bid"][:total])[val].astype(int)
+    assert len(bid) == p.n_cells and len(np.unique(bid)) == p.n_cells
+
+    # row lane == true wrapped cell
+    h = p.cutoff()
+    o = np.asarray(ts.origin)
+    px = np.asarray(new_fields["px"][:total])[val]
+    py = np.asarray(new_fields["py"][:total])[val]
+    lane = (np.arange(total) % (g * g))[val]
+    assert (
+        (np.floor((px - o[0]) / h).astype(int) % g) == lane % g
+    ).all()
+    assert (
+        (np.floor((py - o[1]) / h).astype(int) % g) == lane // g
+    ).all()
+
+    # rows intact: same multiset of (bid -> phase/rad) as before
+    oldv = np.asarray(ts.fields["val"][:total]) > 0.5
+    old_bid = np.asarray(ts.fields["bid"][:total])[oldv].astype(int)
+    old_rad = np.asarray(ts.fields["rad"][:total])[oldv]
+    new_rad = np.asarray(new_fields["rad"][:total])[val]
+    np.testing.assert_array_equal(
+        old_rad[np.argsort(old_bid)], new_rad[np.argsort(bid)]
+    )
+
+
+def test_incremental_rebuild_fallback_on_far_move():
+    from particlerobotsimulations_tpu.engine_table import (
+        TABLE_FIELDS, _geometry, enter_table,
+    )
+    from particlerobotsimulations_tpu.ops.table_rebuild import incremental_rebuild
+
+    p = params_(n_cells=64)
+    total, _, _ = _geometry(p)
+    sim = Simulation(p)
+    ts = jax.jit(lambda s: enter_table(p, s))(sim.state)
+    # teleport one occupied row 3 cells away -> incremental must refuse
+    f = dict(ts.fields)
+    occ = int(np.argmax(np.asarray(f["val"][:total]) > 0.5))
+    f["px"] = f["px"].at[occ].add(3.0 * p.cutoff())
+    _, ok = incremental_rebuild(p, f, TABLE_FIELDS, ts.origin)
+    assert not bool(ok)
+
+
 def test_table_loop_payload_scenario():
     # object-transport style: payload bot + radius factor
     p = params_(n_cells=41, n_dead=-1, rad_factor=4.0, config=Config.RANDOM)

@@ -134,6 +134,7 @@ class Simulation:
         frame_callback: Optional[Callable[["Simulation"], None]] = None,
         frame_every_steps: int | None = None,
         append_csv: bool = False,
+        health_check: bool = True,
     ):
         """Run to ``max_time`` (params.max_time by default), dumping CSV rows
         every ``dump_interval`` exactly like the reference display loop.
@@ -192,6 +193,18 @@ class Simulation:
                 # multiple of dump_interval gets no extra final row
                 if step_count % dump_steps == 0:
                     pos, vel, rad = self.host_view()
+                    if health_check and not (
+                        np.isfinite(pos).all() and np.isfinite(vel).all()
+                    ):
+                        # the reference checks every kernel launch
+                        # (checkCudaErrors, particlebot_cuda.cu:177); we
+                        # check physics-level health at every dump instead
+                        # of silently writing NaN rows
+                        raise RuntimeError(
+                            f"simulation diverged by t={step_count * p.timestep:g}s "
+                            f"(non-finite positions/velocities); see "
+                            f"Simulation.health() for diagnostics"
+                        )
                     dumper.dump(step_count * p.timestep, pos, vel, rad)
                     dumps_done += 1
                     if (

@@ -22,13 +22,37 @@ from ..config import SimParams
 from ..engine import make_run_chunk
 from ..sim import Simulation
 
-# fixed per-call dispatch latency of the remote relay, measured empirically;
-# subtracted so per-step numbers reflect device time
-CALL_OVERHEAD_S = 0.024
-
-
 def sync(x) -> None:
     np.asarray(jax.device_get(jax.tree.leaves(x)[0].ravel()[0]))
+
+
+_OVERHEAD_CACHE: dict = {}
+
+
+def measure_call_overhead(reps: int = 5) -> float:
+    """Per-call dispatch+sync latency of the backend, measured at runtime.
+
+    The axon relay adds a large fixed latency per jitted call (~24 ms);
+    hardcoding it proved brittle (a negative-throughput bug in round 1), so
+    it is measured here: time a trivially small jitted call round-trip and
+    take the minimum over reps.  Cached per backend."""
+    backend = jax.default_backend()
+    if backend in _OVERHEAD_CACHE:
+        return _OVERHEAD_CACHE[backend]
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    x = tiny(x)
+    sync(x)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        x = tiny(x)
+        sync(x)
+        best = min(best, time.perf_counter() - t0)
+    _OVERHEAD_CACHE[backend] = best
+    return best
 
 
 @dataclass
@@ -44,6 +68,7 @@ def measure_throughput(
     params: SimParams, n_steps: int = 1000, reps: int = 3
 ) -> Throughput:
     """Compile + time ``n_steps`` fused physics steps; returns best of reps."""
+    overhead = measure_call_overhead()
     sim = Simulation(params)
     run = make_run_chunk(params)
     state = run(sim.state, n_steps)
@@ -54,11 +79,9 @@ def measure_throughput(
         state = run(state, n_steps)
         sync(state.step)
         elapsed = time.perf_counter() - t0
-        # only subtract the relay dispatch latency when it clearly applies
-        # (tiny CPU runs would otherwise go negative)
-        if elapsed > 4 * CALL_OVERHEAD_S:
-            elapsed -= CALL_OVERHEAD_S
-        best = min(best, elapsed)
+        # subtract the measured per-call dispatch latency, keeping at least
+        # half the raw time so pathological measurements can't go negative
+        best = min(best, max(elapsed - overhead, elapsed * 0.5))
     pos = np.asarray(jax.device_get(state.pos[: params.n_cells]))
     if not np.isfinite(pos).all():
         raise RuntimeError("simulation diverged during profiling")

@@ -47,13 +47,26 @@ from .ops.phase import update_phase
 from .state import SimState, active_mask, payload_mask
 
 
-def _collide_fn(params: SimParams) -> Callable:
+def _collide_fn(params: SimParams, differentiable: bool = False) -> Callable:
     backend = params.resolved_backend()
     if backend == ForceBackend.DENSE:
         return dense_collide
     if backend == ForceBackend.CELLGRID:
         return cellgrid_collide
     if backend == ForceBackend.PALLAS:
+        if differentiable:
+            # Mosaic forward + XLA-stencil backward (custom VJP)
+            from .ops.pallas_stencil import make_diff_pallas_collide
+
+            diff = make_diff_pallas_collide(params, params.timestep)
+
+            def collide(p, pos, vel, rad, mask, payload, dt, slot=None):
+                return diff(
+                    pos, vel, rad,
+                    mask.astype(jnp.float32), payload.astype(jnp.float32),
+                )
+
+            return collide
         return pallas_stencil_collide
     return stencil_collide
 
@@ -73,18 +86,22 @@ def _inject_dead(params: SimParams, state: SimState, key: jax.Array) -> jax.Arra
     return state.dead.at[kill_idx].set(True)
 
 
-def make_step(params: SimParams) -> Callable[[SimState], SimState]:
+def make_step(
+    params: SimParams, differentiable: bool = False
+) -> Callable[[SimState], SimState]:
     """Build the jittable one-step transition for a fixed scenario.
 
     The returned ``step`` optionally accepts a precomputed cell-slot
     assignment (``step(state, slot=...)``, PALLAS backend) — used by the
     run-chunk wrappers to amortize the assignment over
-    ``slot_rebuild_steps`` steps.
+    ``slot_rebuild_steps`` steps.  ``differentiable=True`` swaps the PALLAS
+    collide for its custom-VJP wrapper so ``jax.grad`` flows through the
+    whole step (other backends are differentiable as-is).
     """
     params = params.validate()
     dt = params.timestep
     n_pad = padded_n(params)
-    collide = _collide_fn(params)
+    collide = _collide_fn(params, differentiable)
     is_pallas = params.resolved_backend() == ForceBackend.PALLAS
     phase_gate_steps = params.phase_update_steps
     cog_gate_steps = params.centroid_steps_interval

@@ -36,16 +36,17 @@ def make_phase_rollout(
     The phase controller is frozen (no light-law updates, no noise) so the
     optimized offsets are the only actuation schedule.
     """
-    from ..config import Control, ForceBackend
+    from ..config import Control
 
-    # DENSE backend: the Pallas kernel has no VJP; dense pair forces are
-    # fully differentiable (and optimization studies use modest swarms)
+    # Every backend is differentiable: DENSE/CELLGRID/STENCIL natively, the
+    # PALLAS kernel via its custom VJP (Mosaic forward, XLA-stencil
+    # backward — ops/pallas_stencil.make_diff_pallas_collide), so gradient
+    # studies scale to 10k+ bots on the production backend.
     frozen = params.replace(
         control=Control.FIXED_PHASE,
         phase_std=0.0,
-        force_backend=ForceBackend.DENSE,
     )
-    step = jax.checkpoint(make_step(frozen))
+    step = jax.checkpoint(make_step(frozen, differentiable=True))
     n = params.n_cells
 
     def rollout(phase0: jax.Array, state0: SimState) -> jax.Array:

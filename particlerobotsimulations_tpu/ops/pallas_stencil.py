@@ -247,6 +247,47 @@ def _stencil_forces_pallas(params: SimParams, tables):
     return total[0], total[1], total[2], total[3]
 
 
+def make_diff_pallas_collide(params: SimParams, dt: float):
+    """Differentiable wrapper: Mosaic-fast forward, exact XLA backward.
+
+    The Pallas kernel has no automatic VJP.  Its math is identical (to
+    float32 reassociation, tests/test_pallas.py) to the pure-XLA roll
+    stencil (ops/stencil.py), which IS differentiable — so the custom VJP
+    runs the kernel forward and pulls cotangents back through the stencil
+    formulation.  This unlocks gradient studies (models/optimize.py) at
+    10k+ bots where the round-1 DENSE fallback ran out of steam.
+
+    mask/payload ride as float planes so every primal arg has a float
+    cotangent (they get zeros); dt/params are static closure values.
+    """
+    from .stencil import stencil_collide
+
+    @jax.custom_vjp
+    def collide(pos, vel, rad, maskf, payloadf):
+        return pallas_stencil_collide(
+            params, pos, vel, rad, maskf > 0.5, payloadf > 0.5, dt
+        )
+
+    def fwd(pos, vel, rad, maskf, payloadf):
+        return collide(pos, vel, rad, maskf, payloadf), (
+            pos, vel, rad, maskf, payloadf,
+        )
+
+    def bwd(res, ct):
+        pos, vel, rad, maskf, payloadf = res
+        _, vjp = jax.vjp(
+            lambda p, v, r: stencil_collide(
+                params, p, v, r, maskf > 0.5, payloadf > 0.5, dt
+            ),
+            pos, vel, rad,
+        )
+        dp, dv, dr = vjp(ct)
+        return dp, dv, dr, jnp.zeros_like(maskf), jnp.zeros_like(payloadf)
+
+    collide.defvjp(fwd, bwd)
+    return collide
+
+
 def pallas_stencil_collide(
     params: SimParams,
     pos: jax.Array,

@@ -30,6 +30,38 @@ def test_gradients_flow():
     assert np.abs(g).max() > 0.0, "zero gradient through the physics scan"
 
 
+def grad_with_backend(p, state, backend, n_steps=40):
+    from particlerobotsimulations_tpu import ForceBackend
+
+    rollout = make_phase_rollout(
+        p.replace(force_backend=backend), n_steps=n_steps
+    )
+    n_pad = state.pos.shape[0]
+    phase0 = 0.1 * jax.random.normal(jax.random.key(1), (n_pad,))
+    return np.asarray(jax.grad(rollout)(phase0, state))[: p.n_cells]
+
+
+def test_pallas_custom_vjp_matches_dense_grads():
+    # custom VJP (Mosaic fwd in interpret mode + XLA-stencil bwd) must give
+    # the same phase gradients as the dense path on a small blob
+    from particlerobotsimulations_tpu import ForceBackend
+
+    p, state = setup(n=24)
+    gd = grad_with_backend(p, state, ForceBackend.DENSE)
+    gp = grad_with_backend(p, state, ForceBackend.PALLAS)
+    assert np.isfinite(gp).all() and np.abs(gp).max() > 0
+    np.testing.assert_allclose(gp, gd, rtol=2e-2, atol=2e-4)
+
+
+def test_stencil_grads_match_dense():
+    from particlerobotsimulations_tpu import ForceBackend
+
+    p, state = setup(n=24)
+    gd = grad_with_backend(p, state, ForceBackend.DENSE)
+    gs = grad_with_backend(p, state, ForceBackend.STENCIL)
+    np.testing.assert_allclose(gs, gd, rtol=2e-2, atol=2e-4)
+
+
 def test_optimization_improves_objective():
     p, state = setup(n=16)
     ph, hist = optimize_phases(p, state, n_steps=150, iters=8, lr=0.3)

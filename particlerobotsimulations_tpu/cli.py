@@ -95,7 +95,8 @@ def cmd_simulate(args) -> int:
         recorder = VideoRecorder(params, width=args.video_width,
                                  height=args.video_height,
                                  codec=args.video_codec,
-                                 quality=args.video_quality)
+                                 quality=args.video_quality,
+                                 style=args.video_style)
         frame_cb = recorder.capture
         print(f"recording video -> {recorder.path}", file=sys.stderr)
 
@@ -207,6 +208,9 @@ def main(argv=None) -> int:
                        help="MJPG (compressed, default) or 'DIB ' (raw)")
     sim_p.add_argument("--video-quality", type=int, default=90,
                        help="JPEG quality 1-100 for MJPG")
+    sim_p.add_argument("--video-style", choices=["2d", "3d"], default="2d",
+                       help="top-down ortho (2d) or the reference's "
+                            "perspective presentation look (3d)")
     sim_p.add_argument("--frame-every", type=int, default=0,
                        help="physics steps between frames "
                             "(default: cfg DISPLAY_INTERVAL)")

@@ -54,6 +54,18 @@ def _splat_disks_numpy(img, xs, ys, rs, colors):
         img[y0 : y1 + 1, x0 : x1 + 1][m] = col
 
 
+def _splat(img, xs, ys, rs, colors):
+    """Paint filled disks via the native library when available."""
+    xs = np.ascontiguousarray(xs, np.float32)
+    ys = np.ascontiguousarray(ys, np.float32)
+    rs = np.ascontiguousarray(rs, np.float32)
+    colors = np.ascontiguousarray(colors, np.uint8).reshape(-1, 3)
+    if native.available():
+        native.splat_disks(img, xs, ys, rs, colors)
+    else:
+        _splat_disks_numpy(img, xs, ys, rs, colors)
+
+
 def render_frame(
     params: SimParams,
     pos: np.ndarray,          # (n, 2) active bots

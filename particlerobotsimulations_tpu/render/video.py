@@ -28,7 +28,12 @@ class VideoRecorder:
         fps: int = 20,
         codec: str = "MJPG",
         quality: int = 90,
+        style: str = "2d",
     ):
+        """style: "2d" top-down orthographic (default) or "3d" — the
+        reference's perspective presentation look (render/raster3d.py)."""
+        if style not in ("2d", "3d"):
+            raise ValueError(f"unknown style {style!r}")
         self.params = params
         self.path = path or params.video_filename
         self.writer = AviWriter(
@@ -36,6 +41,7 @@ class VideoRecorder:
         )
         self.width = width
         self.height = height
+        self.style = style
         self._frame_idx = 0
 
     def capture(self, sim) -> np.ndarray:
@@ -53,7 +59,11 @@ class VideoRecorder:
         )
         ring = np.asarray(jax.device_get(state.centroid_ring))
         trail = ring[ring[:, 0] > -4000.0]  # drop unwritten sentinel slots
-        frame = render_frame(
+        if self.style == "3d":
+            from .raster3d import render_frame_3d as _render
+        else:
+            _render = render_frame
+        frame = _render(
             p,
             np.asarray(pos),
             np.asarray(rad),

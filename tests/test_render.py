@@ -78,6 +78,57 @@ def test_avi_roundtrip(tmp_path):
     np.testing.assert_array_equal(decoded, frames[0])
 
 
+def test_render3d_scene_elements():
+    from particlerobotsimulations_tpu.render.raster3d import render_frame_3d
+
+    p = SimParams(
+        n_cells=1, n_dead=0, camera_x=0.0, camera_y=12.0,
+        light_x=-2.0, light_y=0.0,
+        circle_obstacles=((1.0, 0.0, 0.5),),
+        rect_obstacles=((2.0, 2.4, -1.0, 1.0),),
+    )
+    pos = np.array([[0.0, 0.0]], np.float32)
+    rad = np.array([0.3], np.float32)
+    colors = np.array([[0.1, 0.8, 0.2, 1.0]], np.float32)
+    frame = render_frame_3d(p, pos, rad, colors, width=320, height=180)
+    flat = frame.reshape(-1, 3)
+    assert (flat == GROUND).all(axis=1).mean() > 0.5   # ground fills the view
+    assert (flat == LIGHT).all(axis=1).any()
+    assert (flat == OBSTACLE).all(axis=1).any()
+    bot_col = (np.clip(colors[0, :3], 0, 1) * 255).astype(np.uint8)
+    assert (flat == bot_col).all(axis=1).any()
+
+
+def test_render3d_perspective_sizing():
+    # same bot radius, farther from an oblique camera -> fewer pixels
+    from particlerobotsimulations_tpu.render.raster3d import render_frame_3d
+
+    p = SimParams(n_cells=1, n_dead=0, camera_x=8.0, camera_y=3.0)
+    colors = np.array([[1.0, 0.0, 1.0, 1.0]], np.float32)  # unique magenta
+    rad = np.array([0.3], np.float32)
+
+    def bot_pixels(x):
+        f = render_frame_3d(
+            p, np.array([[x, 0.0]], np.float32), rad, colors,
+            width=320, height=180,
+        )
+        return (f.reshape(-1, 3) == (255, 0, 255)).all(axis=1).sum()
+
+    near = bot_pixels(-4.0)   # scene x=+4, toward the camera at +8
+    far = bot_pixels(4.0)
+    assert near > far > 0
+
+
+def test_video_recorder_3d_style(tmp_path):
+    p = SimParams(n_cells=12, n_dead=0, seed=2, max_time=5.0)
+    sim = Simulation(p)
+    path = str(tmp_path / "v3.avi")
+    with VideoRecorder(p, path=path, width=160, height=120, style="3d") as rec:
+        rec.capture(sim)
+    data = open(path, "rb").read()
+    assert struct.unpack("<I", data[48:52])[0] == 1
+
+
 def test_jpeg_encode_roundtrip():
     # native encoder output must decode (PIL) back to ~the input frame
     p = SimParams(

@@ -151,6 +151,7 @@ def cmd_experiment(args) -> int:
     from .config import load_cfg
     from .models.experiments import (
         dead_cell_robustness,
+        gap_transit,
         payload_transport,
         phototaxis_speed,
     )
@@ -167,6 +168,13 @@ def cmd_experiment(args) -> int:
         print("dead_fraction,approach_speed_units_per_s")
         for f, v in zip(out["fractions"], out["approach_speed"]):
             print(f"{f:g},{v:.6f}")
+    elif args.kind == "gap":
+        out = gap_transit(params, seeds, args.sim_seconds, mesh=mesh)
+        print("seed,frac_past_wall")
+        for s, v in zip(seeds, out["frac_past_wall"]):
+            print(f"{s},{v:.4f}")
+        print(f"# mean fraction past wall x={out['wall_x']:g}: "
+              f"{out['frac_past_wall_mean']:.4f}")
     elif args.kind == "transport":
         out = payload_transport(params, seeds, args.sim_seconds, mesh=mesh)
         print("seed,payload_dx,payload_dy")
@@ -237,7 +245,7 @@ def main(argv=None) -> int:
     ex_p = sub.add_parser(
         "experiment", help="canned paper experiments (robustness, transport)"
     )
-    ex_p.add_argument("kind", choices=["robustness", "transport", "speed"])
+    ex_p.add_argument("kind", choices=["robustness", "transport", "speed", "gap"])
     ex_p.add_argument("cfg")
     ex_p.add_argument("--seeds", type=str, default="0:8")
     ex_p.add_argument("--sim-seconds", type=float, default=600.0)

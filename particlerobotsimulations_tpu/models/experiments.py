@@ -72,6 +72,36 @@ def dead_cell_robustness(
     }
 
 
+def gap_transit(
+    params: SimParams,
+    seeds: Sequence[int],
+    sim_seconds: float,
+    mesh=None,
+):
+    """Wall-gap traversal (examples/example_gap.cfg): fraction of the swarm
+    past the wall plane at the end, per seed, plus centroid trajectories."""
+    import jax
+
+    if not params.rect_obstacles:
+        raise ValueError("gap_transit expects rectangular wall obstacles")
+    wall_x = min(x1 for (x1, _x2, _y1, _y2) in params.rect_obstacles)
+    n_steps = int(round(sim_seconds / params.timestep))
+    state, cents = run_sweep(
+        params, seeds, n_steps, mesh=mesh, record_every=params.dump_steps
+    )
+    pos = np.asarray(jax.device_get(state.pos[:, : params.n_cells, :]))
+    frac_past = (pos[..., 0] < wall_x).mean(axis=1)  # (n_scenes,)
+    s = sweep_summary(cents, params)
+    return {
+        "centroids": cents,
+        "wall_x": float(wall_x),
+        "frac_past_wall": frac_past,
+        "frac_past_wall_mean": float(frac_past.mean()),
+        "distance_mean": s["distance_mean"],
+        "distance_std": s["distance_std"],
+    }
+
+
 def payload_transport(
     params: SimParams,
     seeds: Sequence[int],

@@ -5,6 +5,7 @@ import numpy as np
 from particlerobotsimulations_tpu import SimParams, load_cfg
 from particlerobotsimulations_tpu.models.experiments import (
     dead_cell_robustness,
+    gap_transit,
     payload_transport,
     phototaxis_speed,
 )
@@ -25,6 +26,15 @@ def test_dead_cell_robustness_monotone_ish():
     v0, v1 = out["approach_speed"]
     # killing half the swarm must slow it substantially
     assert v1 < v0
+
+
+def test_gap_transit_metric():
+    p = load_cfg("examples/example_gap.cfg").replace(n_cells=24)
+    out = gap_transit(p, seeds=[0, 1], sim_seconds=20.0)
+    assert out["wall_x"] == -1.2
+    assert out["frac_past_wall"].shape == (2,)
+    # 20 sim-seconds: nobody crosses yet, metric must be 0, not NaN
+    assert 0.0 <= out["frac_past_wall_mean"] <= 1.0
 
 
 def test_payload_transport_shapes():

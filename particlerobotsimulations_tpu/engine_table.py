@@ -321,6 +321,8 @@ def make_table_step(params: SimParams):
         f["vx"], f["vy"] = vel[..., 0], vel[..., 1]
 
         # 6. collide: kernel reads the (C, G*G) views directly
+        #    (a window-tile force kernel was prototyped and dropped: +2.4%
+        #    at 10k, VMEM-OOM above ~16k bots — see CLAUDE.md)
         tables = {
             k: f[k][:total].reshape(cap, g * g) for k in KERNEL_FIELDS
         }

@@ -30,6 +30,15 @@ def params_(**kw):
     return SimParams(**base)
 
 
+def jitter(state, scale=1e-4):
+    """Break the HEX lattice's exact tangencies: gap == 0 sits on the
+    overlap/magnet branch boundary, where any 1-ulp difference between two
+    compiled programs flips a +/-2.5 magnet force — not a bug, but it makes
+    cross-implementation comparisons on the pristine lattice meaningless."""
+    noise = scale * jax.random.normal(jax.random.key(99), state.pos.shape)
+    return state._replace(pos=state.pos + noise)
+
+
 def run_per_bot(p, state, n):
     step = make_step(p)
     assign, refresh = _slot_carry_fns(p)
@@ -43,8 +52,9 @@ def run_per_bot(p, state, n):
 def test_table_loop_matches_per_bot_step():
     p = params_()
     sim = Simulation(p)
-    ref = run_per_bot(p, sim.state, 10)
-    out = make_run_chunk_table(p)(sim.state, 10)
+    state0 = jitter(sim.state)
+    ref = run_per_bot(p, state0, 10)
+    out = make_run_chunk_table(p)(state0, 10)
     np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos), atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel), atol=1e-4)
     np.testing.assert_allclose(np.asarray(out.rad), np.asarray(ref.rad), atol=1e-6)
@@ -66,8 +76,9 @@ def test_table_loop_crosses_phase_gate():
         light_shadow=1,
     )
     sim = Simulation(p)
-    ref = run_per_bot(p, sim.state, 8)
-    out = make_run_chunk_table(p)(sim.state, 8)
+    state0 = jitter(sim.state)
+    ref = run_per_bot(p, state0, 8)
+    out = make_run_chunk_table(p)(state0, 8)
     np.testing.assert_allclose(
         np.asarray(out.phase), np.asarray(ref.phase), atol=1e-4
     )
@@ -86,12 +97,12 @@ def test_table_loop_batched_matches_unbatched():
     p = params_(n_cells=64)
     from particlerobotsimulations_tpu.parallel.sweep import make_batch_state
 
-    batch = make_batch_state(p, seeds=[0, 1, 2])
+    batch = jax.vmap(jitter)(make_batch_state(p, seeds=[0, 1, 2]))
     out_b = make_run_chunk_table_batched(p)(batch, 12)
     run1 = make_run_chunk_table(p)
     for i in range(3):
-        solo = Simulation(p.replace(seed=i))
-        out1 = run1(solo.state, 12)
+        solo = jitter(Simulation(p.replace(seed=i)).state)
+        out1 = run1(solo, 12)
         np.testing.assert_allclose(
             np.asarray(out_b.pos[i]), np.asarray(out1.pos), atol=1e-6
         )
@@ -166,7 +177,8 @@ def test_table_loop_payload_scenario():
     # object-transport style: payload bot + radius factor
     p = params_(n_cells=41, n_dead=-1, rad_factor=4.0, config=Config.RANDOM)
     sim = Simulation(p)
-    ref = run_per_bot(p, sim.state, 8)
-    out = make_run_chunk_table(p)(sim.state, 8)
+    state0 = jitter(sim.state)
+    ref = run_per_bot(p, state0, 8)
+    out = make_run_chunk_table(p)(state0, 8)
     np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos), atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel), atol=1e-4)

@@ -68,6 +68,14 @@ TABLE_FIELDS = (
 assert TABLE_FIELDS[: len(KERNEL_FIELDS)] == KERNEL_FIELDS
 N_TF = len(TABLE_FIELDS)
 
+# fields the incremental rebuild must physically move.  The rebuild runs
+# between integrate and collide, where aa/ar are dead values (collide
+# rewrites them immediately after in the new layout), and afac/pay are
+# pure functions of the bot id, re-derived from the moved bid plane.
+MOVE_FIELDS = (
+    "px", "py", "vx", "vy", "rad", "val", "phase", "dead", "bid",
+)
+
 
 class TableState(NamedTuple):
     """Scan carry for the table-resident loop."""
@@ -202,24 +210,45 @@ def _rebuild(params: SimParams, ts: TableState) -> TableState:
     return ts._replace(fields=fields, origin=origin)
 
 
+def _derived_rows(params: SimParams, f: dict) -> dict:
+    """Recompute the bid-derived static fields after a slot relayout."""
+    f32 = jnp.float32
+    if params.has_payload:
+        is_pay = (f["val"] > 0.5) & (
+            f["bid"].astype(jnp.int32) == params.n_cells - 1
+        )
+        f["pay"] = is_pay.astype(f32)
+        f["afac"] = jnp.where(
+            is_pay, f32(params.attraction_factor), f32(1.0)
+        ) * (f["val"] > 0.5)
+    else:
+        f["pay"] = jnp.zeros_like(f["bid"])
+        f["afac"] = (f["val"] > 0.5).astype(f32)
+    return f
+
+
 def _smart_rebuild(params: SimParams, ts: TableState) -> TableState:
     """Incremental compaction rebuild with exact fallback.
 
     Between rebuilds bots move < 1 cell, so reassignment is a local stencil
     compaction (ops/table_rebuild.py) — no sort, no random-index scatter.
-    Falls back to the argsort rebuild when its preconditions fail (a >1-cell
-    move, a cell over capacity, or parked bots needing reinstatement)."""
+    Runs between integrate and collide, so only MOVE_FIELDS travel: aa/ar
+    are dead values there (collide rewrites them right after) and afac/pay
+    are re-derived from the moved bid plane.  Falls back to the argsort
+    rebuild when its preconditions fail (a >1-cell move, a cell over
+    capacity, occupied edge columns, or parked bots)."""
     from .ops.table_rebuild import incremental_rebuild
 
-    new_fields, ok = incremental_rebuild(
-        params, ts.fields, TABLE_FIELDS, ts.origin
+    moved, ok = incremental_rebuild(
+        params, ts.fields, MOVE_FIELDS, ts.origin
     )
-    return jax.lax.cond(
-        ok,
-        lambda t: t._replace(fields=new_fields),
-        lambda t: _rebuild(params, t),
-        ts,
-    )
+
+    def take_inc(t):
+        f = dict(t.fields)
+        f.update(moved)
+        return t._replace(fields=_derived_rows(params, f))
+
+    return jax.lax.cond(ok, take_inc, lambda t: _rebuild(params, t), ts)
 
 
 def _inject_dead_table(params: SimParams, f: dict, key: jax.Array) -> jax.Array:
@@ -259,6 +288,7 @@ def make_table_step(params: SimParams):
         dead_gate: jax.Array,
         cog_gate: jax.Array,
         phase_gate: jax.Array,
+        rebuild_gate: jax.Array,
     ) -> TableState:
         """The gates are SCALAR step predicates supplied by the caller so
         they survive vmap as real ``lax.cond``s (a batched predicate would
@@ -320,7 +350,19 @@ def make_table_step(params: SimParams):
         f["px"], f["py"] = dpos[..., 0], dpos[..., 1]
         f["vx"], f["vy"] = vel[..., 0], vel[..., 1]
 
-        # 6. collide: kernel reads the (C, G*G) views directly
+        # 6. slot rebuild (every slot_rebuild_steps): placed HERE — after
+        #    integrate, before collide — so the one-step-lag force carry is
+        #    already consumed and needn't be moved, and the collide right
+        #    after sees the freshest possible assignment
+        def do_rebuild(t):
+            return _smart_rebuild(params, t)
+
+        ts_r = jax.lax.cond(
+            rebuild_gate, do_rebuild, lambda t: t, ts._replace(fields=f)
+        )
+        f = dict(ts_r.fields)
+
+        # 7. collide: kernel reads the (C, G*G) views directly
         #    (a window-tile force kernel was prototyped and dropped: +2.4%
         #    at 10k, VMEM-OOM above ~16k bots — see CLAUDE.md)
         tables = {
@@ -338,14 +380,20 @@ def make_table_step(params: SimParams):
         f["aa"] = jnp.concatenate([fa.reshape(total), jnp.zeros((pad,), f32)])
         f["ar"] = jnp.concatenate([fr.reshape(total), jnp.zeros((pad,), f32)])
 
-        f_obs, m_obs = obstacle_forces(params, dpos, vel, f["rad"])
+        # re-derive the geometric views from f: the rebuild may have
+        # relocated rows, so the pre-rebuild dpos/vel locals are stale
+        pos_r = jnp.stack([f["px"], f["py"]], axis=-1)
+        vel_r = jnp.stack([f["vx"], f["vy"]], axis=-1)
+        val_r = f["val"] > 0.5
+
+        f_obs, m_obs = obstacle_forces(params, pos_r, vel_r, f["rad"])
         force = force + f_obs
         f["ar"] = f["ar"] + m_obs
 
         new_vel = friction_velocity_update(
-            params, vel, force, f["pay"] > 0.5, dt
+            params, vel_r, force, f["pay"] > 0.5, dt
         )
-        new_vel = jnp.where(val[..., None], new_vel, 0.0)
+        new_vel = jnp.where(val_r[..., None], new_vel, 0.0)
         f["vx"], f["vy"] = new_vel[..., 0], new_vel[..., 1]
 
         return TableState(
@@ -370,14 +418,13 @@ def make_run_chunk_table(params: SimParams):
 
         def body(ts: TableState, _):
             s = ts.step
-            ts = jax.lax.cond(
-                (s % k == 0) & (s != first_step),
-                lambda t: _smart_rebuild(params, t),
-                lambda t: t,
-                ts,
-            )
+            # the rebuild runs INSIDE the step, between integrate and
+            # collide: assignments are made from post-integrate positions
+            # and used by the next k collides at staleness 0..k-1 steps —
+            # one step FRESHER than the old pre-step schedule
+            rebuild_gate = s % k == k - 1
             gates = _gates(params, s)
-            return step(ts, *gates), None
+            return step(ts, *gates, rebuild_gate), None
 
         ts, _ = jax.lax.scan(body, ts, None, length=n_steps)
         return exit_table(params, ts)
@@ -399,21 +446,16 @@ def make_run_chunk_table_batched(params: SimParams):
     venter = jax.vmap(lambda s: enter_table(params, s))
     vexit = jax.vmap(lambda t: exit_table(params, t))
     # gates stay unmapped scalars -> real conds inside the vmapped step
-    vstep = jax.vmap(step, in_axes=(0, None, None, None))
-    vrebuild = jax.vmap(lambda t: _smart_rebuild(params, t))
+    vstep = jax.vmap(step, in_axes=(0, None, None, None, None))
 
     @functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
     def run_chunk(state: SimState, n_steps: int) -> SimState:
         ts = venter(state)
-        first_step = ts.step[0]
 
         def body(ts: TableState, _):
             s0 = ts.step[0]
-            ts = jax.lax.cond(
-                (s0 % k == 0) & (s0 != first_step), vrebuild, lambda t: t, ts
-            )
             gates = _gates(params, s0)
-            return vstep(ts, *gates), None
+            return vstep(ts, *gates, s0 % k == k - 1), None
 
         ts, _ = jax.lax.scan(body, ts, None, length=n_steps)
         return vexit(ts)

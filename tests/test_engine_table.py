@@ -123,7 +123,7 @@ def test_incremental_rebuild_invariants():
     ts = jax.jit(lambda s: enter_table(p, s))(sim.state)
     step = make_table_step(p)
     for i in range(4):  # drift positions a little
-        ts = step(ts, *_gates(p, ts.step))
+        ts = step(ts, *_gates(p, ts.step), jnp.asarray(False))
 
     new_fields, ok = incremental_rebuild(p, ts.fields, TABLE_FIELDS, ts.origin)
     assert bool(ok)

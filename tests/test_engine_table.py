@@ -173,6 +173,31 @@ def test_incremental_rebuild_fallback_on_far_move():
     assert not bool(ok)
 
 
+def test_rebuild_fallback_recovers_mid_run():
+    # drive the swarm > 1 cell per rebuild interval WITHIN one chunk: the
+    # incremental rebuild must refuse (moved_far / edge guard) and the
+    # exact fallback re-anchors — the run continues healthy with every bot
+    # still tracked
+    from particlerobotsimulations_tpu.state import active_mask
+
+    p = params_(n_cells=64)
+    run = make_run_chunk_table(p)
+    state = jitter(Simulation(p).state)
+    mask = active_mask(p, state.pos.shape[0])
+    # ~0.76 cells/step of uniform drift: > 1 cell between K=4 rebuilds
+    fast = jnp.where(mask[:, None], jnp.asarray([[50.0, 0.0]]), 0.0)
+    state = state._replace(vel=fast)
+    before = np.asarray(state.pos)[:64].mean(0)
+    state = run(state, 16)  # crosses several rebuild gates in one scan
+    pos = np.asarray(state.pos)[:64]
+    assert np.isfinite(pos).all()
+    assert int(state.step) == 16
+    # the swarm really travelled (bots weren't dropped/zeroed by a botched
+    # relocation) and stayed a blob
+    assert pos.mean(0)[0] - before[0] > 2.0
+    assert np.linalg.norm(pos - pos.mean(0), axis=1).max() < 6.0
+
+
 def test_table_loop_payload_scenario():
     # object-transport style: payload bot + radius factor
     p = params_(n_cells=41, n_dead=-1, rad_factor=4.0, config=Config.RANDOM)

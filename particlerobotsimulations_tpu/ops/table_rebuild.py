@@ -71,55 +71,64 @@ def _make_compact_kernel(n_fields: int, cap: int, g: int):
 
     Plane layout: [0..n_fields) data fields, then dx, dy (f32, _FAR for
     empty rows).  Outputs the compacted data planes and the per-lane
-    incoming count."""
+    incoming count.  Tiles whose whole window holds no occupied rows skip
+    the rank-and-place entirely (scalar-prefetch occupancy gate — same
+    trick as the force kernel)."""
     nh = _n_halo(g)
     base = nh * CHUNK  # window-local index of target lane t=0
 
-    def kernel(*refs):
+    def kernel(occ_ref, *refs):
         (*win_refs, out_ref, cnt_ref) = refs
-        window = jnp.concatenate([r[...] for r in win_refs], axis=-1)
-        f32 = jnp.float32
-        row = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 1)
-        tri = (col < row).astype(f32)  # strictly lower
+        i = pl.program_id(0)
+        out_ref[...] = jnp.zeros_like(out_ref)
+        cnt_ref[...] = jnp.zeros_like(cnt_ref)
 
-        count = jnp.zeros((1, CHUNK), f32)
-        acc = [jnp.zeros((cap, CHUNK), f32) for _ in range(n_fields)]
-        c2 = jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1).astype(f32)
+        @pl.when(occ_ref[i] > 0)
+        def _():
+            window = jnp.concatenate([r[...] for r in win_refs], axis=-1)
+            f32 = jnp.float32
+            row = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 1)
+            tri = (col < row).astype(f32)  # strictly lower
 
-        for ox, oy in OFFSETS9:
-            lo = base + oy * g + ox  # static window-local slice start
-            cand = window[:, :, lo : lo + CHUNK]
-            m = jnp.logical_and(
-                cand[n_fields] == f32(-ox), cand[n_fields + 1] == f32(-oy)
-            ).astype(f32)
-            # rank of each matched candidate = matched-before-it here
-            # (strict-lower-tri matmul over sublanes) + running count
-            pre = jax.lax.dot_general(
-                tri, m,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
-            rank = pre + count
-            # one-hot place: P[c1, c2, l] = (rank == c2) & matched
-            p = (rank[:, None, :] == c2).astype(f32) * m[:, None, :]
-            for j in range(n_fields):
-                acc[j] = acc[j] + jnp.sum(
-                    p * cand[j][:, None, :], axis=0
+            count = jnp.zeros((1, CHUNK), f32)
+            acc = [jnp.zeros((cap, CHUNK), f32) for _ in range(n_fields)]
+            c2 = jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1).astype(f32)
+
+            for ox, oy in OFFSETS9:
+                lo = base + oy * g + ox  # static window-local slice start
+                cand = window[:, :, lo : lo + CHUNK]
+                m = jnp.logical_and(
+                    cand[n_fields] == f32(-ox), cand[n_fields + 1] == f32(-oy)
+                ).astype(f32)
+                # rank of each matched candidate = matched-before-it here
+                # (strict-lower-tri matmul over sublanes) + running count
+                pre = jax.lax.dot_general(
+                    tri, m,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
                 )
-            count = count + jnp.sum(m, axis=0, keepdims=True)
+                rank = pre + count
+                # one-hot place: P[c1, c2, l] = (rank == c2) & matched
+                p = (rank[:, None, :] == c2).astype(f32) * m[:, None, :]
+                for j in range(n_fields):
+                    acc[j] = acc[j] + jnp.sum(
+                        p * cand[j][:, None, :], axis=0
+                    )
+                count = count + jnp.sum(m, axis=0, keepdims=True)
 
-        for j in range(n_fields):
-            out_ref[j, :, :] = acc[j]
-        cnt_ref[0, :] = count[0, :]
+            for j in range(n_fields):
+                out_ref[j, :, :] = acc[j]
+            cnt_ref[0, :] = count[0, :]
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _compact(params: SimParams, n_fields: int, planes: jax.Array):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _compact(params: SimParams, n_fields: int, val_idx: int, planes: jax.Array):
     """planes (n_fields+2, C, G*G) -> (compacted (n_fields, C, G*G),
-    per-lane incoming count (G*G,))."""
+    per-lane incoming count (G*G,)).  ``val_idx`` locates the occupancy
+    plane for the skip gate."""
     g, cap = params.resolved_grid_dim(), params.cell_capacity
     gg = g * g
     nh = _n_halo(g)
@@ -134,31 +143,48 @@ def _compact(params: SimParams, n_fields: int, planes: jax.Array):
 
     kernel = _make_compact_kernel(n_fields, cap, g)
     n_tiles = 2 * nh + 1
+
+    # conservative per-tile gate: occupancy anywhere in the tile's halo
+    # window (tile-granular rolling OR) — if zero, no row can land here
+    occ_tile = jnp.sum(
+        planes[val_idx].reshape(cap, gg // CHUNK, CHUNK) > 0.5, axis=(0, 2)
+    )
+    win_occ = occ_tile
+    for s in range(1, nh + 1):
+        win_occ = win_occ + jnp.roll(occ_tile, s) + jnp.roll(occ_tile, -s)
+    win_occ = win_occ.astype(jnp.int32)
+
     in_specs = [
         pl.BlockSpec(
             (nfp, cap, CHUNK),
-            functools.partial(lambda k, i: (0, 0, i + k), k),
+            functools.partial(lambda k, i, occ: (0, 0, i + k), k),
             memory_space=pltpu.VMEM,
         )
         for k in range(n_tiles)
     ]
     out, cnt = pl.pallas_call(
         kernel,
-        grid=(gg // CHUNK,),
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec(
-                (n_fields, cap, CHUNK), lambda i: (0, 0, i),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(gg // CHUNK,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec(
+                    (n_fields, cap, CHUNK), lambda i, occ: (0, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, CHUNK), lambda i, occ: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((n_fields, cap, gg), jnp.float32),
             jax.ShapeDtypeStruct((1, gg), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
-    )(*([padded] * n_tiles))
+    )(win_occ, *([padded] * n_tiles))
     return out, cnt[0]
 
 
@@ -215,7 +241,9 @@ def incremental_rebuild(
     dyf = jnp.where(val, dy.astype(f32), f32(_FAR))
     stacked = jnp.concatenate([planes, dxf[None], dyf[None]], axis=0)
 
-    new_planes, incoming = _compact(params, nf, stacked)
+    new_planes, incoming = _compact(
+        params, nf, field_names.index("val"), stacked
+    )
     overflow = jnp.any(incoming > cap)
 
     ok = ~(moved_far | parked | overflow | edge)

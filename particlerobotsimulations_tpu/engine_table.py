@@ -47,7 +47,7 @@ from .config import Control, SimParams, padded_n
 from .ops.actuation import update_radius
 from .ops.forces import (
     attraction_scale,
-    friction_velocity_update,
+    friction_velocity_update_xy,
     obstacle_forces,
 )
 from .ops.pallas_stencil import (
@@ -338,17 +338,16 @@ def make_table_step(params: SimParams):
             f["dead"] > 0.5, val, time, dt,
         )
 
-        # 5. integrate + boundary
-        pos = jnp.stack([f["px"], f["py"]], axis=-1)
-        vel = jnp.stack([f["vx"], f["vy"]], axis=-1)
-        dpos = pos + vel * f32(dt)
-        hi = (f32(params.world_half) - f["rad"])[..., None]
-        lo = (-f32(params.world_half) + f["rad"])[..., None]
-        out = (dpos > hi) | (dpos < lo)
-        dpos = jnp.clip(dpos, lo, hi)
-        vel = jnp.where(out, vel * f32(params.boundary_damping), vel)
-        f["px"], f["py"] = dpos[..., 0], dpos[..., 1]
-        f["vx"], f["vy"] = vel[..., 0], vel[..., 1]
+        # 5. integrate + boundary (component form: the flat px/py planes
+        #    never interleave into (n, 2) on the per-step path)
+        hi = f32(params.world_half) - f["rad"]
+        lo = -f32(params.world_half) + f["rad"]
+        bd = f32(params.boundary_damping)
+        for c, v in (("px", "vx"), ("py", "vy")):
+            new_p = f[c] + f[v] * f32(dt)
+            out = (new_p > hi) | (new_p < lo)
+            f[c] = jnp.clip(new_p, lo, hi)
+            f[v] = jnp.where(out, f[v] * bd, f[v])
 
         # 6. slot rebuild (every slot_rebuild_steps): placed HERE — after
         #    integrate, before collide — so the one-step-lag force carry is
@@ -370,31 +369,27 @@ def make_table_step(params: SimParams):
         }
         fx, fy, fa, fr = _stencil_forces_pallas(params, tables)
         pad = total_ext - total
-        force = jnp.stack(
-            [
-                jnp.concatenate([fx.reshape(total), jnp.zeros((pad,), f32)]),
-                jnp.concatenate([fy.reshape(total), jnp.zeros((pad,), f32)]),
-            ],
-            axis=-1,
-        )
-        f["aa"] = jnp.concatenate([fa.reshape(total), jnp.zeros((pad,), f32)])
-        f["ar"] = jnp.concatenate([fr.reshape(total), jnp.zeros((pad,), f32)])
+        zpad = jnp.zeros((pad,), f32)
+        fxf = jnp.concatenate([fx.reshape(total), zpad])
+        fyf = jnp.concatenate([fy.reshape(total), zpad])
+        f["aa"] = jnp.concatenate([fa.reshape(total), zpad])
+        f["ar"] = jnp.concatenate([fr.reshape(total), zpad])
 
-        # re-derive the geometric views from f: the rebuild may have
-        # relocated rows, so the pre-rebuild dpos/vel locals are stale
-        pos_r = jnp.stack([f["px"], f["py"]], axis=-1)
-        vel_r = jnp.stack([f["vx"], f["vy"]], axis=-1)
+        # note: read geometry from f (the rebuild may have relocated rows)
         val_r = f["val"] > 0.5
+        if params.circle_obstacles or params.rect_obstacles:
+            pos_r = jnp.stack([f["px"], f["py"]], axis=-1)
+            vel_r = jnp.stack([f["vx"], f["vy"]], axis=-1)
+            f_obs, m_obs = obstacle_forces(params, pos_r, vel_r, f["rad"])
+            fxf = fxf + f_obs[..., 0]
+            fyf = fyf + f_obs[..., 1]
+            f["ar"] = f["ar"] + m_obs
 
-        f_obs, m_obs = obstacle_forces(params, pos_r, vel_r, f["rad"])
-        force = force + f_obs
-        f["ar"] = f["ar"] + m_obs
-
-        new_vel = friction_velocity_update(
-            params, vel_r, force, f["pay"] > 0.5, dt
+        nvx, nvy = friction_velocity_update_xy(
+            params, f["vx"], f["vy"], fxf, fyf, f["pay"] > 0.5, dt
         )
-        new_vel = jnp.where(val_r[..., None], new_vel, 0.0)
-        f["vx"], f["vy"] = new_vel[..., 0], new_vel[..., 1]
+        f["vx"] = jnp.where(val_r, nvx, 0.0)
+        f["vy"] = jnp.where(val_r, nvy, 0.0)
 
         return TableState(
             fields=f, origin=ts.origin, step=ts.step + 1, key=ts.key,

@@ -219,6 +219,56 @@ def obstacle_forces(
     return force, mag_r
 
 
+def friction_velocity_update_xy(
+    params: SimParams,
+    vx: jax.Array,
+    vy: jax.Array,
+    fx: jax.Array,
+    fy: jax.Array,
+    payload: jax.Array,  # (...,) bool
+    dt: float,
+):
+    """Component-form stick-slip friction + explicit velocity update.
+
+    Matches particlebot_kernel_impl.cuh:801-825: static hold zeroes the net
+    force when the bot is at rest below the 2*mu*g threshold; the velocity
+    then integrates F*dt (payload: F/massFactor*dt); kinetic friction
+    removes mu*g*dt from the speed, clamping through zero.  The component
+    form exists so the table-resident loop never has to interleave its flat
+    px/py planes into (n, 2) arrays."""
+    f32 = jnp.float32
+    fric = f32(params.friction) * jnp.where(
+        payload, f32(params.friction_factor), f32(1.0)
+    )
+    grav = f32(params.gravity) * jnp.where(
+        payload, f32(params.mass_factor), f32(1.0)
+    )
+
+    def norm2(x, y):
+        return jnp.sqrt(jnp.maximum(x * x + y * y, f32(1.0e-30)))
+
+    speed = norm2(vx, vy)
+    fmag = norm2(fx, fy)
+    static_hold = (speed < f32(1.0e-6)) & (fmag < 2.0 * fric * grav)
+    fx = jnp.where(static_hold, 0.0, fx)
+    fy = jnp.where(static_hold, 0.0, fy)
+
+    inv_mass_dt = jnp.where(payload, f32(1.0 / params.mass_factor), f32(1.0)) * f32(dt)
+    vx = vx + fx * inv_mass_dt
+    vy = vy + fy * inv_mass_dt
+
+    new_speed = norm2(vx, vy)
+    kin = fric * grav * f32(dt)
+    inv = jnp.maximum(new_speed, f32(_EPS))
+    stopped = new_speed < kin
+    # op order matches the historical vector form (vel - kin * (vel/speed))
+    # bit-for-bit so golden fixtures stay valid
+    return (
+        jnp.where(stopped, 0.0, vx - kin * (vx / inv)),
+        jnp.where(stopped, 0.0, vy - kin * (vy / inv)),
+    )
+
+
 def friction_velocity_update(
     params: SimParams,
     vel: jax.Array,      # (n, 2)
@@ -226,13 +276,13 @@ def friction_velocity_update(
     payload: jax.Array,  # (n,) bool
     dt: float,
 ) -> jax.Array:
-    """Stick-slip friction + explicit velocity update.
+    """Vector-form stick-slip friction + explicit velocity update.
 
-    Matches particlebot_kernel_impl.cuh:801-825: static hold zeroes the net
-    force when the bot is at rest below the 2*mu*g threshold; the velocity
-    then integrates F*dt (payload: F/massFactor*dt); kinetic friction removes
-    mu*g*dt from the speed, clamping through zero.
-    """
+    Same physics as friction_velocity_update_xy; kept as the historical
+    vector formulation VERBATIM rather than a wrapper because slicing and
+    restacking changes XLA's FMA fusion choices
+    (--xla_allow_excess_precision), which flips 1-ulp roundings and
+    invalidates the golden trajectory fixtures."""
     f32 = jnp.float32
     fric = f32(params.friction) * jnp.where(
         payload, f32(params.friction_factor), f32(1.0)

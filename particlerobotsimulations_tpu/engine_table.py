@@ -236,7 +236,9 @@ def _smart_rebuild(params: SimParams, ts: TableState) -> TableState:
     are dead values there (collide rewrites them right after) and afac/pay
     are re-derived from the moved bid plane.  Falls back to the argsort
     rebuild when its preconditions fail (a >1-cell move, a cell over
-    capacity, occupied edge columns, or parked bots)."""
+    capacity, or occupied edge columns); parked bots ride through
+    incrementals untouched and get reinstatement attempts at fallbacks
+    and chunk entries."""
     from .ops.table_rebuild import incremental_rebuild
 
     moved, ok = incremental_rebuild(

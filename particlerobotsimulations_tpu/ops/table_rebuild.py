@@ -224,7 +224,6 @@ def incremental_rebuild(
     dy = _wrap_center(iyt - lane // g, g)
 
     moved_far = jnp.any(val & ((jnp.abs(dx) > 1) | (jnp.abs(dy) > 1)))
-    parked = jnp.any(fields["val"][total:] > 0.5)
     # x-edge guard: linear lane windows mis-wrap across rows, harmless only
     # while the wrapped edge columns (0 and G-1) neither hold nor receive
     # rows.  The engine anchors the blob EDGE_MARGIN (=2) cells in, so the
@@ -246,7 +245,15 @@ def incremental_rebuild(
     )
     overflow = jnp.any(incoming > cap)
 
-    ok = ~(moved_far | parked | overflow | edge)
+    # NOTE: parked bots (capacity overflow survivors in the strip beyond
+    # ``total``) do NOT veto the incremental path.  When the actuation wave
+    # compresses cells to capacity, a handful of bots park semi-permanently;
+    # vetoing on them forced the expensive exact fallback on EVERY rebuild
+    # (measured 7x rebuild cost at 250k bots).  Parked rows pass through
+    # untouched here and get reinstatement attempts at every genuine
+    # fallback and at every chunk entry — the same no-pair-force semantics
+    # the capacity drop always had.
+    ok = ~(moved_far | overflow | edge)
 
     new_fields = {
         k: jnp.concatenate(

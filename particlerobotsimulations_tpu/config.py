@@ -181,6 +181,15 @@ class SimParams:
     # Must be a multiple of 16 (keeps grid_dim^2 lane-tile aligned).
     grid_dim: int = 0
     cell_capacity: int = 16
+    # Spill sublanes above cell_capacity (table loop only): bots ranked
+    # past cell_capacity in an over-full cell live in these rows — active
+    # (they integrate, actuate, count for phase/centroid) but invisible to
+    # the force kernel, and automatically re-promoted by the next
+    # compaction when their cell has room.  Without spill room, large
+    # compressed swarms (the occupancy tail pokes past capacity every few
+    # steps at 250k bots) force the expensive exact rebuild chronically.
+    # -1 => auto: 8 when n_cells > 65536 else 0.  Multiple of 8.
+    overflow_slots: int = -1
     # Rebuild the cell-slot assignment every N steps (PALLAS backend).  The
     # argsort-based assignment costs ~1/3 of a 10k-bot step; bots drift
     # ~5e-4 cells/step, so brief reuse cannot drop a contact unless a pair
@@ -272,7 +281,18 @@ class SimParams:
             raise ValueError("need 0 < min_radius <= max_radius")
         if self.grid_dim % 16:
             raise ValueError("grid_dim must be 0 (auto) or a multiple of 16")
+        if self.overflow_slots > 0 and self.overflow_slots % 8:
+            raise ValueError("overflow_slots must be -1 (auto) or a multiple of 8")
         return self
+
+    def resolved_overflow_slots(self) -> int:
+        if self.overflow_slots >= 0:
+            return self.overflow_slots
+        return 8 if self.n_cells > 65536 else 0
+
+    def storage_capacity(self) -> int:
+        """Table sublanes: force-visible capacity + spill rows."""
+        return self.cell_capacity + self.resolved_overflow_slots()
 
     def resolved_grid_dim(self) -> int:
         """Cell-table side length.  Auto mode sizes the wrapped, bbox-anchored

@@ -88,8 +88,10 @@ class TableState(NamedTuple):
 
 
 def _geometry(params: SimParams):
-    g, cap = params.resolved_grid_dim(), params.cell_capacity
-    total = g * g * cap
+    """(table rows, table+parking rows, n_pad) — the table uses the STORAGE
+    capacity (force-visible cell_capacity + overflow spill sublanes)."""
+    g = params.resolved_grid_dim()
+    total = g * g * params.storage_capacity()
     n_pad = padded_n(params)
     return total, total + n_pad, n_pad
 
@@ -142,7 +144,9 @@ def enter_table(params: SimParams, state: SimState) -> TableState:
     _, total_ext, n_pad = _geometry(params)
     mask = active_mask(params, n_pad)
     origin = _anchored_origin(params, state.pos, mask)
-    slot, _ = assign_slots_slotmajor(params, state.pos, mask, origin=origin)
+    slot, _ = assign_slots_slotmajor(
+        params, state.pos, mask, origin=origin, cap=params.storage_capacity()
+    )
     se = _extend_slot(params, slot)
     rows = _bot_rows(params, state)
     flat = jnp.zeros((total_ext, N_TF), jnp.float32).at[se].set(rows)
@@ -203,7 +207,9 @@ def _rebuild(params: SimParams, ts: TableState) -> TableState:
     pos = rows[:, 0:2]
     mask = rows[:, 5] > 0.5
     origin = _anchored_origin(params, pos, mask)
-    new_slot, _ = assign_slots_slotmajor(params, pos, mask, origin=origin)
+    new_slot, _ = assign_slots_slotmajor(
+        params, pos, mask, origin=origin, cap=params.storage_capacity()
+    )
     se = _extend_slot(params, new_slot)
     new_flat = jnp.zeros((total_ext, N_TF), jnp.float32).at[se].set(rows)
     fields = {k: new_flat[:, j] for j, k in enumerate(TABLE_FIELDS)}
@@ -282,6 +288,10 @@ def make_table_step(params: SimParams):
     dt = params.timestep
     g, cap = params.resolved_grid_dim(), params.cell_capacity
     total, total_ext, _ = _geometry(params)
+    # the force kernel sees only the first cell_capacity sublanes: in the
+    # slot-major layout (rank * G*G + lane) those are the first
+    # cap * G*G flat rows; spill rows above them exert no pair forces
+    force_total = g * g * cap
     f32 = jnp.float32
     cog_gate_steps = params.centroid_steps_interval
 
@@ -367,15 +377,15 @@ def make_table_step(params: SimParams):
         #    (a window-tile force kernel was prototyped and dropped: +2.4%
         #    at 10k, VMEM-OOM above ~16k bots — see CLAUDE.md)
         tables = {
-            k: f[k][:total].reshape(cap, g * g) for k in KERNEL_FIELDS
+            k: f[k][:force_total].reshape(cap, g * g) for k in KERNEL_FIELDS
         }
         fx, fy, fa, fr = _stencil_forces_pallas(params, tables)
-        pad = total_ext - total
+        pad = total_ext - force_total  # spill rows + parking get zero force
         zpad = jnp.zeros((pad,), f32)
-        fxf = jnp.concatenate([fx.reshape(total), zpad])
-        fyf = jnp.concatenate([fy.reshape(total), zpad])
-        f["aa"] = jnp.concatenate([fa.reshape(total), zpad])
-        f["ar"] = jnp.concatenate([fr.reshape(total), zpad])
+        fxf = jnp.concatenate([fx.reshape(force_total), zpad])
+        fyf = jnp.concatenate([fy.reshape(force_total), zpad])
+        f["aa"] = jnp.concatenate([fa.reshape(force_total), zpad])
+        f["ar"] = jnp.concatenate([fr.reshape(force_total), zpad])
 
         # note: read geometry from f (the rebuild may have relocated rows)
         val_r = f["val"] > 0.5

@@ -63,11 +63,14 @@ N_BLOCKS = len(OFFSETS)
 LANE_CHUNK = 128
 
 
-def assign_slots_slotmajor(params: SimParams, pos, mask, origin=None):
+def assign_slots_slotmajor(params: SimParams, pos, mask, origin=None, cap=None):
     """(n_pad,) flat slot per bot in the (C, G*G) slot-major layout:
     ``slot = rank * G*G + cell_id`` (rank = index within the cell).
-    Out-of-range value G*G*C marks dropped bots (padding / overflow)."""
-    g, cap = params.resolved_grid_dim(), params.cell_capacity
+    Out-of-range value G*G*C marks dropped bots (padding / overflow).
+    ``cap`` defaults to the force-visible cell capacity; the table loop
+    passes its storage capacity (incl. overflow spill sublanes)."""
+    g = params.resolved_grid_dim()
+    cap = cap if cap is not None else params.cell_capacity
     n = pos.shape[0]
     cid = cell_ids(params, pos, mask, origin=origin)
 

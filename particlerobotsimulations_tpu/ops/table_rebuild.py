@@ -126,10 +126,12 @@ def _make_compact_kernel(n_fields: int, cap: int, g: int):
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _compact(params: SimParams, n_fields: int, val_idx: int, planes: jax.Array):
-    """planes (n_fields+2, C, G*G) -> (compacted (n_fields, C, G*G),
+    """planes (n_fields+2, C_storage, G*G) -> (compacted planes,
     per-lane incoming count (G*G,)).  ``val_idx`` locates the occupancy
-    plane for the skip gate."""
-    g, cap = params.resolved_grid_dim(), params.cell_capacity
+    plane for the skip gate.  C_storage includes the overflow spill
+    sublanes: rows ranked past cell_capacity stay resident (invisible to
+    the force kernel) instead of forcing the exact fallback."""
+    g, cap = params.resolved_grid_dim(), params.storage_capacity()
     gg = g * g
     nh = _n_halo(g)
     halo = nh * CHUNK
@@ -201,7 +203,7 @@ def incremental_rebuild(
     """Returns (new_fields, ok).  ``ok`` False means the caller must run the
     exact full rebuild instead (>1-cell move, overflow, occupied wrapped
     edge columns, or parked bots)."""
-    g, cap = params.resolved_grid_dim(), params.cell_capacity
+    g, cap = params.resolved_grid_dim(), params.storage_capacity()
     gg = g * g
     total = gg * cap
     f32 = jnp.float32

@@ -198,6 +198,45 @@ def test_rebuild_fallback_recovers_mid_run():
     assert np.linalg.norm(pos - pos.mean(0), axis=1).max() < 6.0
 
 
+def test_overflow_spill_sublanes():
+    # 24 bots crammed into one cell with overflow_slots=8: 16 go to the
+    # force-visible sublanes, 8 to the spill rows (active but forceless),
+    # nobody parks; as the overlap explosion disperses them, compaction
+    # promotes the spilled rows back into force-visible slots
+    from particlerobotsimulations_tpu.engine_table import (
+        _geometry, enter_table, make_run_chunk_table,
+    )
+
+    p = params_(n_cells=24, grid_dim=16, overflow_slots=8, phase_std=0.0)
+    assert p.storage_capacity() == 24
+    sim = Simulation(p)
+    rng = np.random.default_rng(0)
+    crowded = jnp.asarray(
+        rng.uniform(0.0, 0.4, (sim.state.pos.shape[0], 2)).astype(np.float32)
+    )
+    state = sim.state._replace(pos=crowded, vel=jnp.zeros_like(sim.state.vel))
+
+    total, total_ext, n_pad = _geometry(p)
+    g, cap = p.resolved_grid_dim(), p.cell_capacity
+    ts = jax.jit(lambda s: enter_table(p, s))(state)
+    spilled = (
+        np.asarray(ts.fields["val"][g * g * cap : total]) > 0.5
+    ).sum()
+    parked = (np.asarray(ts.fields["val"][total:]) > 0.5).sum()
+    assert spilled > 0, "nothing spilled from the crowded cell"
+    assert parked == 0, "spill room should prevent parking"
+
+    run = make_run_chunk_table(p)
+    out = run(state, 60)  # the overlap explosion disperses the pile
+    pos = np.asarray(out.pos)[:24]
+    assert np.isfinite(pos).all()
+    ts2 = jax.jit(lambda s: enter_table(p, s))(out)
+    spilled2 = (
+        np.asarray(ts2.fields["val"][g * g * cap : total]) > 0.5
+    ).sum()
+    assert spilled2 == 0, "dispersed bots should all be force-visible again"
+
+
 def test_table_loop_payload_scenario():
     # object-transport style: payload bot + radius factor
     p = params_(n_cells=41, n_dead=-1, rad_factor=4.0, config=Config.RANDOM)

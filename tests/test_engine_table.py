@@ -237,6 +237,25 @@ def test_overflow_spill_sublanes():
     assert spilled2 == 0, "dispersed bots should all be force-visible again"
 
 
+def test_overflow_spill_batched():
+    # the vmapped (sweep/dp) loop composes with spill sublanes
+    from particlerobotsimulations_tpu.engine_table import (
+        make_run_chunk_table, make_run_chunk_table_batched,
+    )
+    from particlerobotsimulations_tpu.parallel.sweep import make_batch_state
+
+    p = params_(n_cells=48, grid_dim=16, overflow_slots=8, phase_std=0.0)
+    batch = jax.vmap(jitter)(make_batch_state(p, seeds=[0, 1]))
+    out_b = make_run_chunk_table_batched(p)(batch, 12)
+    run1 = make_run_chunk_table(p)
+    for i in range(2):
+        solo = jitter(Simulation(p.replace(seed=i)).state)
+        out1 = run1(solo, 12)
+        np.testing.assert_allclose(
+            np.asarray(out_b.pos[i]), np.asarray(out1.pos), atol=1e-6
+        )
+
+
 def test_table_loop_payload_scenario():
     # object-transport style: payload bot + radius factor
     p = params_(n_cells=41, n_dead=-1, rad_factor=4.0, config=Config.RANDOM)

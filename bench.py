@@ -18,7 +18,9 @@ import jax.numpy as jnp
 import numpy as np
 
 N_BOTS = 10_000
-STEPS = 2000  # long chunks amortize the ~24ms relay dispatch latency
+STEPS = 6000  # long chunks amortize the ~24ms relay dispatch latency
+# (6000 steps ~ 0.9 s/call at current speed — far under the ~2 min
+# single-call watchdog, and dispatch becomes <3% of the measurement)
 TARGET = 1.0e8
 
 

@@ -259,14 +259,21 @@ class SimParams:
     def resolved_backend(self) -> ForceBackend:
         if self.force_backend != ForceBackend.AUTO:
             return self.force_backend
-        if self.n_cells <= 2048:
-            return ForceBackend.DENSE
         # platform-dependent: the Pallas kernel needs a real TPU (Mosaic);
         # elsewhere the XLA stencil is the portable scalable path
         import jax
 
         if jax.default_backend() not in ("cpu",):
-            return ForceBackend.PALLAS
+            # measured crossover on v5e (round 3): DENSE wins to ~500
+            # bots (O(N^2) but one fused matmul-shaped pass), the Pallas
+            # table loop wins from ~700 up (36M vs 8M at 2k)
+            return (
+                ForceBackend.DENSE
+                if self.n_cells <= 640
+                else ForceBackend.PALLAS
+            )
+        if self.n_cells <= 2048:
+            return ForceBackend.DENSE
         return ForceBackend.STENCIL
 
     def validate(self) -> "SimParams":

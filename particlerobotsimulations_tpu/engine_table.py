@@ -332,11 +332,13 @@ def make_table_step(params: SimParams):
         ring = jax.lax.cond(cog_gate, write_ring, lambda: ts.centroid_ring)
 
         # 3. phase controller (1/phase_update_interval steps, under cond —
-        #    the raycast + noise draw actually only run on gate steps)
+        #    the raycast + noise draw actually only run on gate steps; the
+        #    (N, 2) position stack lives INSIDE the branch so off steps
+        #    don't even pay the interleave)
         if params.control == Control.LIGHT_WAVE:
-            pos_t = jnp.stack([f["px"], f["py"]], axis=-1)
 
             def do_phase():
+                pos_t = jnp.stack([f["px"], f["py"]], axis=-1)
                 return update_phase(
                     params, pos_t, f["phase"], val,
                     jax.random.fold_in(step_key, 1),
@@ -364,13 +366,22 @@ def make_table_step(params: SimParams):
         # 6. slot rebuild (every slot_rebuild_steps): placed HERE — after
         #    integrate, before collide — so the one-step-lag force carry is
         #    already consumed and needn't be moved, and the collide right
-        #    after sees the freshest possible assignment
-        def do_rebuild(t):
-            return _smart_rebuild(params, t)
+        #    after sees the freshest possible assignment.  rebuild_gate may
+        #    be a STATIC python bool: the run-chunk loop unrolls blocks of
+        #    k steps whose last step always rebuilds, because a traced
+        #    lax.cond here routes the whole TableState through the branch
+        #    and costs ~13 us/step at 10k bots even when it never fires
+        #    (measured round 3: cond-operand copies defeat buffer reuse).
+        ts_f = ts._replace(fields=f)
+        if rebuild_gate is True:
+            ts_r = _smart_rebuild(params, ts_f)
+        elif rebuild_gate is False:
+            ts_r = ts_f
+        else:
+            def do_rebuild(t):
+                return _smart_rebuild(params, t)
 
-        ts_r = jax.lax.cond(
-            rebuild_gate, do_rebuild, lambda t: t, ts._replace(fields=f)
-        )
+            ts_r = jax.lax.cond(rebuild_gate, do_rebuild, lambda t: t, ts_f)
         f = dict(ts_r.fields)
 
         # 7. collide: kernel reads the (C, G*G) views directly
@@ -418,22 +429,52 @@ def make_run_chunk_table(params: SimParams):
     step = make_table_step(params)
     k = max(1, params.slot_rebuild_steps)
 
+    # blocks of k steps whose LAST step rebuilds statically (no traced
+    # rebuild cond in the scan body — see the note in make_table_step).
+    # The schedule is chunk-relative: chunk entry re-anchors + reassigns
+    # anyway, so assignment staleness stays <= k-1 steps regardless of the
+    # chunk's starting step.  Unrolled only for small k; a huge k (exact
+    # per-chunk mode or ablations) scans single no-rebuild steps instead.
+    unroll_blocks = 1 < k <= 8
+
     @functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
     def run_chunk(state: SimState, n_steps: int) -> SimState:
         ts = enter_table(params, state)
-        first_step = ts.step
 
-        def body(ts: TableState, _):
-            s = ts.step
-            # the rebuild runs INSIDE the step, between integrate and
-            # collide: assignments are made from post-integrate positions
-            # and used by the next k collides at staleness 0..k-1 steps —
-            # one step FRESHER than the old pre-step schedule
-            rebuild_gate = s % k == k - 1
-            gates = _gates(params, s)
-            return step(ts, *gates, rebuild_gate), None
+        def step_at(ts: TableState, rebuild_gate):
+            return step(ts, *_gates(params, ts.step), rebuild_gate)
 
-        ts, _ = jax.lax.scan(body, ts, None, length=n_steps)
+        def plain(ts: TableState, _):
+            return step_at(ts, False), None
+
+        if k == 1:
+            def body(ts: TableState, _):
+                return step_at(ts, True), None
+
+            ts, _ = jax.lax.scan(body, ts, None, length=n_steps)
+        elif unroll_blocks:
+            n_blocks, rem = divmod(n_steps, k)
+
+            def block(ts: TableState, _):
+                # k-1 gateless steps UNROLLED + the block's closing step
+                # with a static rebuild.  (A nested inner scan would keep
+                # compile time flat in k but its carry boundary costs a
+                # measured ~7 us/step at 10k — runtime wins.)
+                for j in range(k):
+                    ts = step_at(ts, j == k - 1)
+                return ts, None
+
+            if n_blocks:
+                ts, _ = jax.lax.scan(block, ts, None, length=n_blocks)
+            if rem:
+                ts, _ = jax.lax.scan(plain, ts, None, length=rem)
+        else:
+            # k > 8: keep the traced-cond schedule (absolute-step gate);
+            # unrolling such blocks would bloat the compiled body
+            def body(ts: TableState, _):
+                return step_at(ts, ts.step % k == k - 1), None
+
+            ts, _ = jax.lax.scan(body, ts, None, length=n_steps)
         return exit_table(params, ts)
 
     return run_chunk
@@ -452,19 +493,57 @@ def make_run_chunk_table_batched(params: SimParams):
     k = max(1, params.slot_rebuild_steps)
     venter = jax.vmap(lambda s: enter_table(params, s))
     vexit = jax.vmap(lambda t: exit_table(params, t))
-    # gates stay unmapped scalars -> real conds inside the vmapped step
-    vstep = jax.vmap(step, in_axes=(0, None, None, None, None))
+    # gates stay unmapped scalars -> real conds inside the vmapped step;
+    # the rebuild gate is a STATIC bool (same block structure as the
+    # unbatched loop), so two vmapped step variants are built
+    vstep_rb = jax.vmap(
+        lambda t, dg, cg, pg: step(t, dg, cg, pg, True),
+        in_axes=(0, None, None, None),
+    )
+    vstep = jax.vmap(
+        lambda t, dg, cg, pg: step(t, dg, cg, pg, False),
+        in_axes=(0, None, None, None),
+    )
+    unroll_blocks = 1 < k <= 8
 
     @functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
     def run_chunk(state: SimState, n_steps: int) -> SimState:
         ts = venter(state)
 
-        def body(ts: TableState, _):
-            s0 = ts.step[0]
-            gates = _gates(params, s0)
-            return vstep(ts, *gates, s0 % k == k - 1), None
+        def step_at(ts: TableState, rebuild: bool):
+            gates = _gates(params, ts.step[0])
+            return (vstep_rb if rebuild else vstep)(ts, *gates)
 
-        ts, _ = jax.lax.scan(body, ts, None, length=n_steps)
+        def plain(ts: TableState, _):
+            return step_at(ts, False), None
+
+        if k == 1:
+            def body(ts: TableState, _):
+                return step_at(ts, True), None
+
+            ts, _ = jax.lax.scan(body, ts, None, length=n_steps)
+        elif unroll_blocks:
+            n_blocks, rem = divmod(n_steps, k)
+
+            def block(ts: TableState, _):
+                for j in range(k):
+                    ts = step_at(ts, j == k - 1)
+                return ts, None
+
+            if n_blocks:
+                ts, _ = jax.lax.scan(block, ts, None, length=n_blocks)
+            if rem:
+                ts, _ = jax.lax.scan(plain, ts, None, length=rem)
+        else:
+            # k > 8: traced rebuild cond (the gate stays an unmapped
+            # scalar, so it remains a real cond under vmap)
+            vstep_dyn = jax.vmap(step, in_axes=(0, None, None, None, None))
+
+            def body(ts: TableState, _):
+                s0 = ts.step[0]
+                return vstep_dyn(ts, *_gates(params, s0), s0 % k == k - 1), None
+
+            ts, _ = jax.lax.scan(body, ts, None, length=n_steps)
         return vexit(ts)
 
     return run_chunk

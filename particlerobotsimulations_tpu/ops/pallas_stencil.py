@@ -32,6 +32,7 @@ ops/forces.py for the annotated scalar form.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +62,44 @@ N_BLOCKS = len(OFFSETS)
 # tiles skip ALL pair math).  Measured at 10k/100k bots: 128 beats 256/384
 # by 9-19% — the skip rate outweighs the extra grid steps.
 LANE_CHUNK = 128
+
+# preshift/realign formulation: "flat" moves data with flat lane rolls on
+# the native (C, G*G) layout plus an edge-column select for the x-wrap;
+# "3d" reshapes to (C, G, G) and rolls the cell axes (the round-1/2 form —
+# on TPU the G-lane minor dim pads to 128 and each reshape is a relayout
+# copy).  Values produced are identical; env knob kept for A/B timing.
+_PRESHIFT_MODE = os.environ.get("PBOT_PRESHIFT", "flat")
+
+
+def _lane_x(g: int, gg: int) -> jax.Array:
+    """(gg,) int32: x coordinate of each flat cell lane (cell = y*G + x)."""
+    return jax.lax.broadcasted_iota(jnp.int32, (gg, 1), 0).reshape(gg) % g
+
+
+def _preshift_flat(stacked: jax.Array, g: int, dx: int, dy: int) -> jax.Array:
+    """out[..., y*G+x] = stacked[..., ((y+dy)%G)*G + (x+dx)%G] via flat
+    lane rolls: a y-shift is exactly a flat roll by dy*G (row wrap == grid
+    wrap), and the dx=1 x-shift is a flat roll by 1 that is wrong only on
+    the x == G-1 edge column, fixed with a second roll + lane select."""
+    gg = stacked.shape[-1]
+    if dx == 0 and dy == 0:
+        return stacked
+    main = jnp.roll(stacked, -(dy * g + dx), axis=-1)
+    if dx == 0:
+        return main
+    fix = jnp.roll(stacked, -(dy * g + dx - g), axis=-1)
+    return jnp.where(_lane_x(g, gg) == g - 1, fix, main)
+
+
+def _realign_flat(r: jax.Array, g: int, dx: int, dy: int) -> jax.Array:
+    """Inverse move for Newton reactions: the reaction computed at cell s
+    for the candidate block (dx, dy) belongs at cell s + (dy, dx)."""
+    gg = r.shape[-1]
+    main = jnp.roll(r, dy * g + dx, axis=-1)
+    if dx == 0:
+        return main
+    fix = jnp.roll(r, dy * g + dx - g, axis=-1)
+    return jnp.where(_lane_x(g, gg) < dx, fix, main)
 
 
 def assign_slots_slotmajor(params: SimParams, pos, mask, origin=None, cap=None):
@@ -216,16 +255,22 @@ def _stencil_forces_pallas(params: SimParams, tables):
     # (y, x) is table[(y+dy) % G, (x+dx) % G]
     # (measured: packing all fields into one roll per offset is a wash —
     # XLA already batches these)
-    blocks = []
-    for dx, dy in OFFSETS:
-        fields = []
-        for k in FIELDS:
-            x = tables[k].reshape(cap, g, g)  # (C, G_y, G_x)
-            if dx or dy:
-                x = jnp.roll(x, (-dy, -dx), axis=(1, 2))
-            fields.append(x.reshape(cap, gg))
-        blocks.append(jnp.stack(fields))
-    stk = jnp.stack(blocks)  # (N_BLOCKS, N_FIELDS, C, G*G)
+    if _PRESHIFT_MODE == "flat":
+        base = jnp.stack([tables[k] for k in FIELDS])  # (N_FIELDS, C, gg)
+        stk = jnp.stack(
+            [_preshift_flat(base, g, dx, dy) for dx, dy in OFFSETS]
+        )  # (N_BLOCKS, N_FIELDS, C, G*G)
+    else:
+        blocks = []
+        for dx, dy in OFFSETS:
+            fields = []
+            for k in FIELDS:
+                x = tables[k].reshape(cap, g, g)  # (C, G_y, G_x)
+                if dx or dy:
+                    x = jnp.roll(x, (-dy, -dx), axis=(1, 2))
+                fields.append(x.reshape(cap, gg))
+            blocks.append(jnp.stack(fields))
+        stk = jnp.stack(blocks)  # (N_BLOCKS, N_FIELDS, C, G*G)
 
     kernel = _make_kernel(params)
     # largest lane-chunk <= LANE_CHUNK that divides G*G and keeps 128-lane
@@ -278,9 +323,12 @@ def _stencil_forces_pallas(params: SimParams, tables):
     # belongs at cell (y+dy, x+dx)
     total = acc
     for bi, (dx, dy) in enumerate(OFFSETS[1:]):
-        r = racc[bi].reshape(4, cap, g, g)
-        r = jnp.roll(r, (dy, dx), axis=(2, 3))
-        total = total + r.reshape(4, cap, gg)
+        if _PRESHIFT_MODE == "flat":
+            total = total + _realign_flat(racc[bi], g, dx, dy)
+        else:
+            r = racc[bi].reshape(4, cap, g, g)
+            r = jnp.roll(r, (dy, dx), axis=(2, 3))
+            total = total + r.reshape(4, cap, gg)
     return total[0], total[1], total[2], total[3]
 
 

@@ -265,3 +265,46 @@ def test_table_loop_payload_scenario():
     out = make_run_chunk_table(p)(state0, 8)
     np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos), atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel), atol=1e-4)
+
+
+def test_block_scan_rebuild_schedules():
+    # round-3 block scan: the static-rebuild block path (1 < k <= 8), the
+    # k == 1 always-rebuild path and the k > 8 traced-cond path must all
+    # produce the same trajectory as the same schedule expressed with
+    # explicit per-step traced gates — including a non-multiple-of-k
+    # remainder tail (rebuilds are relabelings; with identical schedules
+    # the physics is bitwise identical).
+    from particlerobotsimulations_tpu.engine_table import (
+        _gates, enter_table, exit_table, make_table_step,
+    )
+
+    for k, n_steps in ((4, 7), (1, 3), (12, 13)):
+        p = params_(n_cells=64, slot_rebuild_steps=k)
+        # wider jitter than default: 1-ulp compilation differences flip
+        # overlap/magnet branches on near-tangent pairs and chaos amplifies
+        # them — this test checks SCHEDULES, not kernel bitwise identity
+        state = jitter(Simulation(p).state, scale=1e-3)
+        # run_chunk donates its input buffers — keep a copy for the reference
+        out = make_run_chunk_table(p)(jax.tree.map(jnp.copy, state), n_steps)
+
+        # reference: per-step traced-cond loop with the matching schedule
+        step = make_table_step(p)
+        ts = jax.jit(lambda s: enter_table(p, s))(state)
+        for j in range(n_steps):
+            if k > 8:
+                gate = ts.step % k == k - 1         # absolute (traced path)
+            else:
+                gate = jnp.asarray(j % k == k - 1)  # chunk-relative blocks
+            ts = step(ts, *_gates(p, ts.step), gate)
+        ref = jax.jit(lambda t: exit_table(p, t))(ts)
+
+        # one jitted program vs n_steps separately-jitted ones: FMA
+        # contraction choices differ at the ulp level (see CLAUDE.md) —
+        # assert schedule equivalence at float tolerance, not bitwise
+        np.testing.assert_allclose(
+            np.asarray(out.pos), np.asarray(ref.pos), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.vel), np.asarray(ref.vel), atol=1e-4
+        )
+        assert int(out.step) == int(ref.step)

@@ -436,6 +436,13 @@ def make_run_chunk_table(params: SimParams):
     # chunk's starting step.  Unrolled only for small k; a huge k (exact
     # per-chunk mode or ablations) scans single no-rebuild steps instead.
     unroll_blocks = 1 < k <= 8
+    # unrolling k force-kernel instances into one scan body multiplies XLA
+    # compile time by the body size: fine to ~100k bots (gg*cap ~ 600k
+    # rows), but ~4 min at 250k (1.4M rows).  Large tables use an inner
+    # scan for the k-1 gateless steps instead — 2 step instances; its scan
+    # -boundary cost (~7 us at 10k) is noise at these step times.
+    total_rows = _geometry(params)[0]
+    unroll_body = total_rows <= (1 << 20)
 
     @functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
     def run_chunk(state: SimState, n_steps: int) -> SimState:
@@ -456,12 +463,12 @@ def make_run_chunk_table(params: SimParams):
             n_blocks, rem = divmod(n_steps, k)
 
             def block(ts: TableState, _):
-                # k-1 gateless steps UNROLLED + the block's closing step
-                # with a static rebuild.  (A nested inner scan would keep
-                # compile time flat in k but its carry boundary costs a
-                # measured ~7 us/step at 10k — runtime wins.)
-                for j in range(k):
-                    ts = step_at(ts, j == k - 1)
+                if unroll_body:
+                    for j in range(k):
+                        ts = step_at(ts, j == k - 1)
+                else:
+                    ts, _ = jax.lax.scan(plain, ts, None, length=k - 1)
+                    ts = step_at(ts, True)
                 return ts, None
 
             if n_blocks:
@@ -505,6 +512,7 @@ def make_run_chunk_table_batched(params: SimParams):
         in_axes=(0, None, None, None),
     )
     unroll_blocks = 1 < k <= 8
+    unroll_body = _geometry(params)[0] <= (1 << 20)
 
     @functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
     def run_chunk(state: SimState, n_steps: int) -> SimState:
@@ -526,8 +534,12 @@ def make_run_chunk_table_batched(params: SimParams):
             n_blocks, rem = divmod(n_steps, k)
 
             def block(ts: TableState, _):
-                for j in range(k):
-                    ts = step_at(ts, j == k - 1)
+                if unroll_body:
+                    for j in range(k):
+                        ts = step_at(ts, j == k - 1)
+                else:
+                    ts, _ = jax.lax.scan(plain, ts, None, length=k - 1)
+                    ts = step_at(ts, True)
                 return ts, None
 
             if n_blocks:

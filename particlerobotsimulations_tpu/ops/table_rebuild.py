@@ -71,14 +71,23 @@ def _make_compact_kernel(n_fields: int, cap: int, g: int):
 
     Plane layout: [0..n_fields) data fields, then dx, dy (f32, _FAR for
     empty rows).  Outputs the compacted data planes and the per-lane
-    incoming count.  Tiles whose whole window holds no occupied rows skip
-    the rank-and-place entirely (scalar-prefetch occupancy gate — same
-    trick as the force kernel)."""
+    incoming count.  Scalar-prefetch gates:
+
+    * occ (per tile) — a window with no occupied rows outputs zeros;
+    * offc (per tile x mover offset) — the 8 non-center offset blocks run
+      ONLY when a row in the window actually moves by that offset.  Bots
+      drift ~1e-3 cells between rebuilds, so ~20 movers exist per rebuild
+      at 10k bots and the average tile evaluates ~1 mover block instead of
+      8 — rank-and-place (tri-matmul + one-hot placement over all fields)
+      is the rebuild's compute bulk.  Accumulators live in VMEM scratch so
+      values need not cross the pl.when regions; skipped offsets match
+      nothing, so the running rank base is unchanged — bit-identical to
+      the ungated loop."""
     nh = _n_halo(g)
     base = nh * CHUNK  # window-local index of target lane t=0
 
-    def kernel(occ_ref, *refs):
-        (*win_refs, out_ref, cnt_ref) = refs
+    def kernel(occ_ref, offc_ref, *refs):
+        (*win_refs, out_ref, cnt_ref, acc_scr, cnt_scr) = refs
         i = pl.program_id(0)
         out_ref[...] = jnp.zeros_like(out_ref)
         cnt_ref[...] = jnp.zeros_like(cnt_ref)
@@ -90,12 +99,11 @@ def _make_compact_kernel(n_fields: int, cap: int, g: int):
             row = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 1)
             tri = (col < row).astype(f32)  # strictly lower
-
-            count = jnp.zeros((1, CHUNK), f32)
-            acc = [jnp.zeros((cap, CHUNK), f32) for _ in range(n_fields)]
             c2 = jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1).astype(f32)
 
-            for ox, oy in OFFSETS9:
+            def block(ox, oy):
+                """Rank-and-place rows moving by (ox, oy) into this tile,
+                on top of the running scratch accumulators."""
                 lo = base + oy * g + ox  # static window-local slice start
                 cand = window[:, :, lo : lo + CHUNK]
                 m = jnp.logical_and(
@@ -108,18 +116,26 @@ def _make_compact_kernel(n_fields: int, cap: int, g: int):
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=f32,
                 )
-                rank = pre + count
+                rank = pre + cnt_scr[...]
                 # one-hot place: P[c1, c2, l] = (rank == c2) & matched
                 p = (rank[:, None, :] == c2).astype(f32) * m[:, None, :]
                 for j in range(n_fields):
-                    acc[j] = acc[j] + jnp.sum(
-                        p * cand[j][:, None, :], axis=0
-                    )
-                count = count + jnp.sum(m, axis=0, keepdims=True)
+                    acc_scr[j, :, :] += jnp.sum(p * cand[j][:, None, :], axis=0)
+                cnt_scr[...] += jnp.sum(m, axis=0, keepdims=True)
 
-            for j in range(n_fields):
-                out_ref[j, :, :] = acc[j]
-            cnt_ref[0, :] = count[0, :]
+            # center offset (rows that stay in their cell): nearly all rows,
+            # always evaluated — seeds the scratch accumulators
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+            cnt_scr[...] = jnp.zeros_like(cnt_scr)
+            block(0, 0)
+
+            for o, (ox, oy) in enumerate(OFFSETS9[1:]):
+                @pl.when(offc_ref[i, o] > 0)
+                def _(ox=ox, oy=oy):
+                    block(ox, oy)
+
+            out_ref[...] = acc_scr[...]
+            cnt_ref[0, :] = cnt_scr[0, :]
 
     return kernel
 
@@ -146,20 +162,33 @@ def _compact(params: SimParams, n_fields: int, val_idx: int, planes: jax.Array):
     kernel = _make_compact_kernel(n_fields, cap, g)
     n_tiles = 2 * nh + 1
 
-    # conservative per-tile gate: occupancy anywhere in the tile's halo
-    # window (tile-granular rolling OR) — if zero, no row can land here
-    occ_tile = jnp.sum(
-        planes[val_idx].reshape(cap, gg // CHUNK, CHUNK) > 0.5, axis=(0, 2)
-    )
-    win_occ = occ_tile
-    for s in range(1, nh + 1):
-        win_occ = win_occ + jnp.roll(occ_tile, s) + jnp.roll(occ_tile, -s)
-    win_occ = win_occ.astype(jnp.int32)
+    def window_count(per_row):
+        """Per-tile count of flagged rows anywhere in the tile's halo
+        window (tile-granular rolling sum)."""
+        tile = jnp.sum(per_row.reshape(cap, gg // CHUNK, CHUNK), axis=(0, 2))
+        win = tile
+        for s in range(1, nh + 1):
+            win = win + jnp.roll(tile, s) + jnp.roll(tile, -s)
+        return win.astype(jnp.int32)
+
+    # conservative per-tile gates: occupancy anywhere in the window (if
+    # zero, no row can land here) and, per mover offset, whether any row
+    # in the window moves by exactly that offset (see kernel docstring)
+    val_rows = planes[val_idx] > 0.5
+    win_occ = window_count(val_rows)
+    dxp, dyp = planes[n_fields], planes[n_fields + 1]
+    off_cnt = jnp.stack(
+        [
+            window_count(val_rows & (dxp == -ox) & (dyp == -oy))
+            for ox, oy in OFFSETS9[1:]
+        ],
+        axis=-1,
+    )  # (n_tiles, 8)
 
     in_specs = [
         pl.BlockSpec(
             (nfp, cap, CHUNK),
-            functools.partial(lambda k, i, occ: (0, 0, i + k), k),
+            functools.partial(lambda k, i, occ, mov: (0, 0, i + k), k),
             memory_space=pltpu.VMEM,
         )
         for k in range(n_tiles)
@@ -167,18 +196,22 @@ def _compact(params: SimParams, n_fields: int, val_idx: int, planes: jax.Array):
     out, cnt = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(gg // CHUNK,),
             in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec(
-                    (n_fields, cap, CHUNK), lambda i, occ: (0, 0, i),
+                    (n_fields, cap, CHUNK), lambda i, occ, mov: (0, 0, i),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, CHUNK), lambda i, occ: (0, i),
+                    (1, CHUNK), lambda i, occ, mov: (0, i),
                     memory_space=pltpu.VMEM,
                 ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((n_fields, cap, CHUNK), jnp.float32),
+                pltpu.VMEM((1, CHUNK), jnp.float32),
             ],
         ),
         out_shape=[
@@ -186,7 +219,7 @@ def _compact(params: SimParams, n_fields: int, val_idx: int, planes: jax.Array):
             jax.ShapeDtypeStruct((1, gg), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
-    )(win_occ, *([padded] * n_tiles))
+    )(win_occ, off_cnt, *([padded] * n_tiles))
     return out, cnt[0]
 
 

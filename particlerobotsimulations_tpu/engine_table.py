@@ -259,6 +259,31 @@ def _smart_rebuild(params: SimParams, ts: TableState) -> TableState:
     return jax.lax.cond(ok, take_inc, lambda t: _rebuild(params, t), ts)
 
 
+def _smart_rebuild_batched(params: SimParams, ts: TableState) -> TableState:
+    """Smart rebuild over a leading scene axis, with the incremental-vs
+    -exact ``lax.cond`` OUTSIDE the vmap: the incremental compaction runs
+    for every scene, and is taken for ALL scenes only when every scene's
+    preconditions held, else the exact rebuild runs for all (rare).  A per
+    -scene cond under vmap decays to a select that executes the expensive
+    exact fallback for every scene on every rebuild — measured 2.3x slower
+    per scene than the unbatched loop."""
+    from .ops.table_rebuild import incremental_rebuild
+
+    moved, ok = jax.vmap(
+        lambda f, o: incremental_rebuild(params, f, MOVE_FIELDS, o)
+    )(ts.fields, ts.origin)
+
+    def take_inc(t):
+        f = dict(t.fields)
+        f.update(moved)
+        return t._replace(fields=_derived_rows(params, f))
+
+    def take_exact(t):
+        return jax.vmap(lambda tt: _rebuild(params, tt))(t)
+
+    return jax.lax.cond(jnp.all(ok), take_inc, take_exact, ts)
+
+
 def _inject_dead_table(params: SimParams, f: dict, key: jax.Array) -> jax.Array:
     """Kill n_dead occupied, not-yet-dead slots (cf. engine._inject_dead)."""
     alive = (f["val"] > 0.5) & (f["dead"] < 0.5)
@@ -282,8 +307,17 @@ def _gates(params: SimParams, step: jax.Array):
     )
 
 
-def make_table_step(params: SimParams):
-    """One physics step on a TableState; op order == engine.make_step."""
+def make_table_step_parts(params: SimParams):
+    """(step_pre, step_post): the physics step split around the rebuild.
+
+    ``step_pre`` runs dead injection, centroid ring, phase, radius and
+    integrate (the step counter is NOT bumped); ``step_post`` runs collide
+    + friction and bumps the counter.  The slot rebuild slots between the
+    two — ``make_table_step`` composes them for the single-scene loop,
+    while the batched loop hoists the rebuild OUT of ``vmap`` so its
+    incremental-vs-exact ``lax.cond`` keeps a scalar predicate (a batched
+    predicate decays to a select that runs the expensive exact fallback
+    for every scene every rebuild)."""
     params = params.validate()
     dt = params.timestep
     g, cap = params.resolved_grid_dim(), params.cell_capacity
@@ -295,12 +329,11 @@ def make_table_step(params: SimParams):
     f32 = jnp.float32
     cog_gate_steps = params.centroid_steps_interval
 
-    def step(
+    def step_pre(
         ts: TableState,
         dead_gate: jax.Array,
         cog_gate: jax.Array,
         phase_gate: jax.Array,
-        rebuild_gate: jax.Array,
     ) -> TableState:
         """The gates are SCALAR step predicates supplied by the caller so
         they survive vmap as real ``lax.cond``s (a batched predicate would
@@ -363,26 +396,10 @@ def make_table_step(params: SimParams):
             f[c] = jnp.clip(new_p, lo, hi)
             f[v] = jnp.where(out, f[v] * bd, f[v])
 
-        # 6. slot rebuild (every slot_rebuild_steps): placed HERE — after
-        #    integrate, before collide — so the one-step-lag force carry is
-        #    already consumed and needn't be moved, and the collide right
-        #    after sees the freshest possible assignment.  rebuild_gate may
-        #    be a STATIC python bool: the run-chunk loop unrolls blocks of
-        #    k steps whose last step always rebuilds, because a traced
-        #    lax.cond here routes the whole TableState through the branch
-        #    and costs ~13 us/step at 10k bots even when it never fires
-        #    (measured round 3: cond-operand copies defeat buffer reuse).
-        ts_f = ts._replace(fields=f)
-        if rebuild_gate is True:
-            ts_r = _smart_rebuild(params, ts_f)
-        elif rebuild_gate is False:
-            ts_r = ts_f
-        else:
-            def do_rebuild(t):
-                return _smart_rebuild(params, t)
+        return ts._replace(fields=f, centroid_ring=ring)
 
-            ts_r = jax.lax.cond(rebuild_gate, do_rebuild, lambda t: t, ts_f)
-        f = dict(ts_r.fields)
+    def step_post(ts: TableState) -> TableState:
+        f = dict(ts.fields)
 
         # 7. collide: kernel reads the (C, G*G) views directly
         #    (a window-tile force kernel was prototyped and dropped: +2.4%
@@ -414,10 +431,44 @@ def make_table_step(params: SimParams):
         f["vx"] = jnp.where(val_r, nvx, 0.0)
         f["vy"] = jnp.where(val_r, nvy, 0.0)
 
-        return TableState(
-            fields=f, origin=ts.origin, step=ts.step + 1, key=ts.key,
-            centroid_ring=ring,
-        )
+        return ts._replace(fields=f, step=ts.step + 1)
+
+    return step_pre, step_post
+
+
+def make_table_step(params: SimParams):
+    """One physics step on a TableState; op order == engine.make_step."""
+    params = params.validate()
+    step_pre, step_post = make_table_step_parts(params)
+
+    def step(
+        ts: TableState,
+        dead_gate: jax.Array,
+        cog_gate: jax.Array,
+        phase_gate: jax.Array,
+        rebuild_gate: jax.Array,
+    ) -> TableState:
+        ts = step_pre(ts, dead_gate, cog_gate, phase_gate)
+
+        # slot rebuild (every slot_rebuild_steps): placed HERE — after
+        # integrate, before collide — so the one-step-lag force carry is
+        # already consumed and needn't be moved, and the collide right
+        # after sees the freshest possible assignment.  rebuild_gate may
+        # be a STATIC python bool: the run-chunk loop unrolls blocks of
+        # k steps whose last step always rebuilds, because a traced
+        # lax.cond here routes the whole TableState through the branch
+        # and costs ~13 us/step at 10k bots even when it never fires
+        # (measured round 3: cond-operand copies defeat buffer reuse).
+        if rebuild_gate is True:
+            ts = _smart_rebuild(params, ts)
+        elif rebuild_gate is not False:
+            ts = jax.lax.cond(
+                rebuild_gate,
+                lambda t: _smart_rebuild(params, t),
+                lambda t: t,
+                ts,
+            )
+        return step_post(ts)
 
     return step
 
@@ -496,21 +547,15 @@ def make_run_chunk_table_batched(params: SimParams):
     to computed-and-discarded selects under vmap.
     """
     params = params.validate()
-    step = make_table_step(params)
+    step_pre, step_post = make_table_step_parts(params)
     k = max(1, params.slot_rebuild_steps)
     venter = jax.vmap(lambda s: enter_table(params, s))
     vexit = jax.vmap(lambda t: exit_table(params, t))
-    # gates stay unmapped scalars -> real conds inside the vmapped step;
-    # the rebuild gate is a STATIC bool (same block structure as the
-    # unbatched loop), so two vmapped step variants are built
-    vstep_rb = jax.vmap(
-        lambda t, dg, cg, pg: step(t, dg, cg, pg, True),
-        in_axes=(0, None, None, None),
-    )
-    vstep = jax.vmap(
-        lambda t, dg, cg, pg: step(t, dg, cg, pg, False),
-        in_axes=(0, None, None, None),
-    )
+    # gates stay unmapped scalars -> real conds inside the vmapped halves;
+    # the rebuild runs BETWEEN the vmapped halves so its incremental-vs
+    # -exact cond stays scalar (see _smart_rebuild_batched)
+    vpre = jax.vmap(step_pre, in_axes=(0, None, None, None))
+    vpost = jax.vmap(step_post)
     unroll_blocks = 1 < k <= 8
     unroll_body = _geometry(params)[0] <= (1 << 20)
 
@@ -520,7 +565,10 @@ def make_run_chunk_table_batched(params: SimParams):
 
         def step_at(ts: TableState, rebuild: bool):
             gates = _gates(params, ts.step[0])
-            return (vstep_rb if rebuild else vstep)(ts, *gates)
+            ts = vpre(ts, *gates)
+            if rebuild:
+                ts = _smart_rebuild_batched(params, ts)
+            return vpost(ts)
 
         def plain(ts: TableState, _):
             return step_at(ts, False), None
@@ -547,13 +595,17 @@ def make_run_chunk_table_batched(params: SimParams):
             if rem:
                 ts, _ = jax.lax.scan(plain, ts, None, length=rem)
         else:
-            # k > 8: traced rebuild cond (the gate stays an unmapped
-            # scalar, so it remains a real cond under vmap)
-            vstep_dyn = jax.vmap(step, in_axes=(0, None, None, None, None))
-
+            # k > 8: traced rebuild cond on a scalar gate, outside vmap
             def body(ts: TableState, _):
                 s0 = ts.step[0]
-                return vstep_dyn(ts, *_gates(params, s0), s0 % k == k - 1), None
+                ts = vpre(ts, *_gates(params, s0))
+                ts = jax.lax.cond(
+                    s0 % k == k - 1,
+                    lambda t: _smart_rebuild_batched(params, t),
+                    lambda t: t,
+                    ts,
+                )
+                return vpost(ts), None
 
             ts, _ = jax.lax.scan(body, ts, None, length=n_steps)
         return vexit(ts)

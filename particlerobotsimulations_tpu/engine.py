@@ -106,17 +106,36 @@ def make_step(
     phase_gate_steps = params.phase_update_steps
     cog_gate_steps = params.centroid_steps_interval
 
-    def step(state: SimState, slot: jax.Array | None = None) -> SimState:
+    def step(
+        state: SimState,
+        slot: jax.Array | None = None,
+        gates: tuple | None = None,
+    ) -> SimState:
+        """``gates`` optionally supplies the (dead, cog, phase) interval
+        predicates as SCALARS shared by a lockstep scene batch — the
+        batched runner computes them from scene 0's counter so they stay
+        real ``lax.cond``s under vmap (per-scene predicates decay to
+        selects that execute the phase noise draw, shadow raycast and dead
+        top_k every step and multiply TPU compile time).  Default: derived
+        from this state's own counter."""
         mask = active_mask(params, n_pad)
         payload = payload_mask(params, n_pad)
         time = state.time(dt)
         step_key = jax.random.fold_in(state.key, state.step)
+        if gates is None:
+            dead_gate = (
+                state.step == params.dead_step if params.n_dead > 0 else None
+            )
+            cog_gate = state.step % cog_gate_steps == 0
+            phase_gate = state.step % phase_gate_steps == 0
+        else:
+            dead_gate, cog_gate, phase_gate = gates
 
         # 1. dead-cell injection (one-shot)
         dead = state.dead
         if params.n_dead > 0:
             dead = jax.lax.cond(
-                state.step == params.dead_step,
+                dead_gate,
                 lambda d: _inject_dead(params, state, step_key),
                 lambda d: d,
                 dead,
@@ -125,28 +144,31 @@ def make_step(
         # 2. centroid ring buffer (reference ring index:
         #    (int)(time / centroid_int) % centroid_steps,
         #    particlebot_cuda.cu:245)
-        cog_gate = state.step % cog_gate_steps == 0
-        centroid = jnp.sum(
-            jnp.where(mask[:, None], state.pos, 0.0), axis=0
-        ) / jnp.float32(params.n_cells)
-        ring_idx = (state.step // cog_gate_steps) % params.centroid_steps
-        ring = jnp.where(
-            cog_gate,
-            jax.lax.dynamic_update_slice(
-                state.centroid_ring, centroid[None, :], (ring_idx, 0)
-            ),
-            state.centroid_ring,
+        def write_ring(r):
+            centroid = jnp.sum(
+                jnp.where(mask[:, None], state.pos, 0.0), axis=0
+            ) / jnp.float32(params.n_cells)
+            ring_idx = (state.step // cog_gate_steps) % params.centroid_steps
+            return jax.lax.dynamic_update_slice(
+                r, centroid[None, :], (ring_idx, 0)
+            )
+
+        ring = jax.lax.cond(
+            cog_gate, write_ring, lambda r: r, state.centroid_ring
         )
 
         # 3. phase controller (interval gated; FIXED_PHASE keeps the
         #    scripted/learned offsets untouched)
         if params.control == Control.LIGHT_WAVE:
-            phase_gate = state.step % phase_gate_steps == 0
-            new_phase = update_phase(
-                params, state.pos, state.phase, mask,
-                jax.random.fold_in(step_key, 1),
+            phase = jax.lax.cond(
+                phase_gate,
+                lambda p: update_phase(
+                    params, state.pos, p, mask,
+                    jax.random.fold_in(step_key, 1),
+                ),
+                lambda p: p,
+                state.phase,
             )
-            phase = jnp.where(phase_gate, new_phase, state.phase)
         else:
             phase = state.phase
 
@@ -260,33 +282,28 @@ def make_run_chunk_batched(params: SimParams) -> Callable:
 
         return make_run_chunk_table_batched(params)
     step = make_step(params)
-    slot_fns = _slot_carry_fns(params)
+    # (the PALLAS backend early-returned above, so there is no slot carry
+    # here — DENSE/STENCIL/CELLGRID need no slot reuse)
+    # scenes advance in lockstep: interval gates use scene 0's counter so
+    # they stay scalar lax.conds under vmap (see make_step's gates arg)
+    vstep = jax.vmap(
+        lambda s, dg, cg, pg: step(s, gates=(dg, cg, pg)),
+        in_axes=(0, None, None, None),
+    )
 
     @functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
     def run_chunk(state: SimState, n_steps: int) -> SimState:
-        if slot_fns is None:
-            vstep = jax.vmap(step)
+        def body(s, _):
+            s0 = s.step[0]
+            dead_gate = (
+                s0 == params.dead_step if params.n_dead > 0
+                else jnp.asarray(False)
+            )
+            cog_gate = s0 % params.centroid_steps_interval == 0
+            phase_gate = s0 % params.phase_update_steps == 0
+            return vstep(s, dead_gate, cog_gate, phase_gate), None
 
-            def body(s, _):
-                return vstep(s), None
-
-            out, _ = jax.lax.scan(body, state, None, length=n_steps)
-            return out
-
-        assign, refresh = slot_fns
-
-        def one(s, slot):
-            slot = refresh(s, slot)
-            return step(s, slot=slot), slot
-
-        vone = jax.vmap(one)
-
-        def body(carry, _):
-            return vone(*carry), None
-
-        (out, _), _ = jax.lax.scan(
-            body, (state, jax.vmap(assign)(state)), None, length=n_steps
-        )
+        out, _ = jax.lax.scan(body, state, None, length=n_steps)
         return out
 
     return run_chunk

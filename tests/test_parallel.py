@@ -176,3 +176,15 @@ def test_spatial_sharding_multi_step(eight_devices):
         state = sharded_step(state)
     pos = np.asarray(jax.device_get(state.pos))
     assert np.isfinite(pos[: p.n_cells]).all()
+
+
+def test_sweep_sharded_pallas_table(eight_devices):
+    # the production sweep layout at scale: the batched TABLE loop (PALLAS
+    # backend) sharded over the mesh's data axis — covers the vmapped
+    # enter/step/rebuild/exit chain under real shardings (the multi-chip dp
+    # path the driver dry-runs)
+    p = small_params(n_cells=64, phase_std=0.0, force_backend=ForceBackend.PALLAS)
+    seeds = list(range(8))
+    _, sharded = run_sweep(p, seeds, 100, mesh=default_mesh(), record_every=100)
+    _, local = run_sweep(p, seeds, 100, mesh=None, record_every=100)
+    np.testing.assert_allclose(sharded, local, atol=1e-5)

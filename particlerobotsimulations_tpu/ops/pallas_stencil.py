@@ -149,10 +149,13 @@ def _pair_block(params: SimParams, t, c, self_block: bool, cap: int):
     cd = t["rad"] + c["rad"]
     valid = t["val"] * c["val"]
     if self_block:
-        # mask the self pair (same slot, same cell): the (C, C) diagonal
+        # Newton inside the cell too: evaluate only the strict upper
+        # triangle of the (C, C) slot pairs — the reaction sum lands on
+        # candidate slots in the SAME lane, so unlike the shifted blocks
+        # it needs no realign at all (applied directly in the kernel)
         ti = jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 0)
         ci = jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 1)
-        valid = valid * (ti != ci).astype(jnp.float32)
+        valid = valid * (ti < ci).astype(jnp.float32)
     is_overlap = dist < cd
     overlap = jnp.where(is_overlap, valid, 0.0)
     attract = jnp.where(
@@ -228,7 +231,14 @@ def _make_kernel(params: SimParams):
                 acc[1] = acc[1] + jnp.sum(dfy, axis=1)
                 acc[2] = acc[2] + jnp.sum(dfa, axis=1)
                 acc[3] = acc[3] + jnp.sum(dfr, axis=1)
-                if b > 0:
+                if b == 0:
+                    # in-cell Newton reaction: the target-axis sum is
+                    # already aligned to candidate slots of the SAME lane
+                    acc[0] = acc[0] - jnp.sum(dfx, axis=0)
+                    acc[1] = acc[1] - jnp.sum(dfy, axis=0)
+                    acc[2] = acc[2] + jnp.sum(dfa, axis=0)
+                    acc[3] = acc[3] + jnp.sum(dfr, axis=0)
+                else:
                     # Newton reaction on the candidates: sum over the TARGET
                     # axis lands values aligned to candidate slots; the cell
                     # offset is realigned outside the kernel.

@@ -195,14 +195,16 @@ def exit_table(params: SimParams, ts: TableState) -> SimState:
     )
 
 
-def _rebuild(params: SimParams, ts: TableState) -> TableState:
-    """Exact full rebuild: re-anchor + argsort reassignment via bot order.
+def _rebuild_fields(params: SimParams, fields: dict):
+    """Exact full rebuild on a fields dict: re-anchor + argsort
+    reassignment via bot order.  Returns (new fields, new origin).
 
     This is the fallback path (and the semantics anchor) for the cheap
-    incremental rebuild in ops/table_rebuild.py."""
+    incremental rebuild in ops/table_rebuild.py; the sharded table loop
+    (parallel/spatial_table.py) calls it replicated after an all-gather."""
     _, total_ext, n_pad = _geometry(params)
-    slot = _slot_of_bot(params, ts.fields)
-    flat = jnp.stack([ts.fields[k] for k in TABLE_FIELDS], axis=-1)
+    slot = _slot_of_bot(params, fields)
+    flat = jnp.stack([fields[k] for k in TABLE_FIELDS], axis=-1)
     rows = flat[slot]
     pos = rows[:, 0:2]
     mask = rows[:, 5] > 0.5
@@ -212,7 +214,11 @@ def _rebuild(params: SimParams, ts: TableState) -> TableState:
     )
     se = _extend_slot(params, new_slot)
     new_flat = jnp.zeros((total_ext, N_TF), jnp.float32).at[se].set(rows)
-    fields = {k: new_flat[:, j] for j, k in enumerate(TABLE_FIELDS)}
+    return {k: new_flat[:, j] for j, k in enumerate(TABLE_FIELDS)}, origin
+
+
+def _rebuild(params: SimParams, ts: TableState) -> TableState:
+    fields, origin = _rebuild_fields(params, ts.fields)
     return ts._replace(fields=fields, origin=origin)
 
 

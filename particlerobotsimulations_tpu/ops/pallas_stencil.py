@@ -58,6 +58,14 @@ N_FIELDS = len(FIELDS)
 OFFSETS = ((0, 0), (1, 0), (0, 1), (1, 1), (1, -1))
 N_BLOCKS = len(OFFSETS)
 
+# the full 3x3 neighborhood (non-Newton form, used by the sharded-table
+# force pass: no reactions means nothing to send back across shards)
+OFFSETS9 = (
+    (0, 0),
+    (1, 0), (-1, 0), (0, 1), (0, -1),
+    (1, 1), (1, -1), (-1, 1), (-1, -1),
+)
+
 # 128-lane tiles: finest skip granularity for the occupancy gate (empty
 # tiles skip ALL pair math).  Measured at 10k/100k bots: 128 beats 256/384
 # by 9-19% — the skip rate outweighs the extra grid steps.
@@ -79,16 +87,21 @@ def _lane_x(g: int, gg: int) -> jax.Array:
 def _preshift_flat(stacked: jax.Array, g: int, dx: int, dy: int) -> jax.Array:
     """out[..., y*G+x] = stacked[..., ((y+dy)%G)*G + (x+dx)%G] via flat
     lane rolls: a y-shift is exactly a flat roll by dy*G (row wrap == grid
-    wrap), and the dx=1 x-shift is a flat roll by 1 that is wrong only on
-    the x == G-1 edge column, fixed with a second roll + lane select."""
+    wrap), and a dx = +-1 x-shift is a flat roll by dx that is wrong only
+    on one edge column (x == G-1 for +1, x == 0 for -1), fixed with a
+    second roll + lane select."""
     gg = stacked.shape[-1]
     if dx == 0 and dy == 0:
         return stacked
     main = jnp.roll(stacked, -(dy * g + dx), axis=-1)
     if dx == 0:
         return main
-    fix = jnp.roll(stacked, -(dy * g + dx - g), axis=-1)
-    return jnp.where(_lane_x(g, gg) == g - 1, fix, main)
+    if dx == 1:
+        fix = jnp.roll(stacked, -(dy * g + dx - g), axis=-1)
+        return jnp.where(_lane_x(g, gg) == g - 1, fix, main)
+    assert dx == -1
+    fix = jnp.roll(stacked, -(dy * g + dx + g), axis=-1)
+    return jnp.where(_lane_x(g, gg) == 0, fix, main)
 
 
 def _realign_flat(r: jax.Array, g: int, dx: int, dy: int) -> jax.Array:
@@ -128,13 +141,19 @@ def assign_slots_slotmajor(params: SimParams, pos, mask, origin=None, cap=None):
     return slot, overflow
 
 
-def _pair_block(params: SimParams, t, c, self_block: bool, cap: int):
+def _pair_block(
+    params: SimParams, t, c, self_block: bool, cap: int,
+    newton_center: bool = True,
+):
     """Fused pair forces for one candidate block.
 
     t: dict of (C, 1, L) target fields; c: dict of (1, C, L) candidates.
     Returns (fx, fy, ma, mc) of shape (C, C, L) — target slot x candidate
     slot x cell.  Identical math to ops/forces.py::pair_forces but
-    rsqrt-first (float32 agrees to ~1 ulp).
+    rsqrt-first (float32 agrees to ~1 ulp).  ``newton_center`` selects the
+    center block's pair set: strict upper triangle (Newton kernel — the
+    reaction covers the lower half) or all off-diagonal ordered pairs
+    (non-Newton kernel).
     """
     f32 = jnp.float32
     eps = f32(1.0e-12)
@@ -155,7 +174,8 @@ def _pair_block(params: SimParams, t, c, self_block: bool, cap: int):
         # it needs no realign at all (applied directly in the kernel)
         ti = jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 0)
         ci = jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 1)
-        valid = valid * (ti < ci).astype(jnp.float32)
+        pair_set = (ti < ci) if newton_center else (ti != ci)
+        valid = valid * pair_set.astype(jnp.float32)
     is_overlap = dist < cd
     overlap = jnp.where(is_overlap, valid, 0.0)
     attract = jnp.where(
@@ -340,6 +360,106 @@ def _stencil_forces_pallas(params: SimParams, tables):
             r = jnp.roll(r, (dy, dx), axis=(2, 3))
             total = total + r.reshape(4, cap, gg)
     return total[0], total[1], total[2], total[3]
+
+
+def _make_kernel_ext(params: SimParams):
+    """Non-Newton kernel body: 9 candidate blocks, targets only, no racc."""
+    cap = params.cell_capacity
+    nb = len(OFFSETS9)
+
+    def kernel(occ_ref, stk, acc_ref):
+        i = pl.program_id(0)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        @pl.when(occ_ref[i] > 0)
+        def _():
+            t = {
+                k: stk[0, j, :, :][:, None, :] for j, k in enumerate(FIELDS)
+            }
+            l = stk.shape[-1]
+            acc = [jnp.zeros((cap, l), jnp.float32) for _ in range(4)]
+            for b in range(nb):
+                c = {
+                    k: stk[b, j, :, :][None, :, :] for j, k in enumerate(FIELDS)
+                }
+                dfx, dfy, dfa, dfr = _pair_block(
+                    params, t, c, b == 0, cap, newton_center=False
+                )
+                acc[0] = acc[0] + jnp.sum(dfx, axis=1)
+                acc[1] = acc[1] + jnp.sum(dfy, axis=1)
+                acc[2] = acc[2] + jnp.sum(dfa, axis=1)
+                acc[3] = acc[3] + jnp.sum(dfr, axis=1)
+            acc_ref[0, :, :] = acc[0]
+            acc_ref[1, :, :] = acc[1]
+            acc_ref[2, :, :] = acc[2]
+            acc_ref[3, :, :] = acc[3]
+
+    return kernel
+
+
+def stencil_forces_pallas_ext(
+    params: SimParams,
+    tables_ext: dict,        # str -> (C, ext_lanes) f32, halo-extended
+    center_start: int,       # first CENTER lane (multiple of 128)
+    center_lanes: int,       # CENTER width in lanes (multiple of 128)
+):
+    """Forces for the CENTER region of a halo-extended table — the sharded
+    -table force pass (parallel/spatial_table.py).
+
+    The extended table is ``[halo_lo | center | halo_hi]`` along lanes with
+    halos holding the neighbor shards' boundary grid rows (exchanged over
+    ICI).  The NON-Newton 9-block form is used so no reactions ever need to
+    travel back across the shard boundary.  The preshift's flat-roll wrap
+    is only exact away from the extended array's outer edge, so callers
+    must pad halos with >= 2 grid rows (outer rows may hold garbage
+    candidates for the outermost halo row — never for center targets).
+    Returns (fx, fy, fa, fr), each (C, center_lanes).
+    """
+    g, cap = params.resolved_grid_dim(), params.cell_capacity
+    ext = tables_ext["val"].shape[-1]
+    assert center_start % LANE_CHUNK == 0 and center_lanes % LANE_CHUNK == 0
+
+    base = jnp.stack([tables_ext[k] for k in FIELDS])  # (N_FIELDS, C, ext)
+    stk = jnp.stack(
+        [_preshift_flat(base, g, dx, dy) for dx, dy in OFFSETS9]
+    )  # (9, N_FIELDS, C, ext)
+
+    chunk = LANE_CHUNK
+    n_tiles = center_lanes // chunk
+    tile0 = center_start // chunk
+
+    occ = jnp.sum(
+        tables_ext["val"][:, center_start : center_start + center_lanes]
+        .reshape(cap, n_tiles, chunk),
+        axis=(0, 2),
+    ).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (len(OFFSETS9), N_FIELDS, cap, chunk),
+                lambda i, occ: (0, 0, 0, i + tile0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (4, cap, chunk), lambda i, occ: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    (acc,) = pl.pallas_call(
+        _make_kernel_ext(params),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((4, cap, center_lanes), jnp.float32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(occ, stk)
+    return acc[0], acc[1], acc[2], acc[3]
 
 
 def make_diff_pallas_collide(params: SimParams, dt: float):

@@ -108,10 +108,14 @@ def update_phase(
     phase: jax.Array,   # (n,)
     mask: jax.Array,    # (n,) bool
     key: jax.Array,     # PRNG key for the gaussian phase noise
+    min_d: jax.Array | None = None,  # precomputed global min distance
 ) -> jax.Array:
+    """``min_d`` lets sharded callers pass a cross-device ``pmin`` of the
+    light distance (this function's own reduction only sees local rows)."""
     f32 = jnp.float32
     dist = light_distance(params, pos)
-    min_d = jnp.min(jnp.where(mask, dist, jnp.inf))
+    if min_d is None:
+        min_d = jnp.min(jnp.where(mask, dist, jnp.inf))
     spacing = 2.0 * f32(params.min_radius)
     base = (min_d - dist) / spacing * f32(params.rise_period)
 

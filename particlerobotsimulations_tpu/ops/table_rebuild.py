@@ -140,55 +140,68 @@ def _make_compact_kernel(n_fields: int, cap: int, g: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _compact(params: SimParams, n_fields: int, val_idx: int, planes: jax.Array):
-    """planes (n_fields+2, C_storage, G*G) -> (compacted planes,
-    per-lane incoming count (G*G,)).  ``val_idx`` locates the occupancy
-    plane for the skip gate.  C_storage includes the overflow spill
-    sublanes: rows ranked past cell_capacity stay resident (invisible to
-    the force kernel) instead of forcing the exact fallback."""
+def compact_padded(
+    params: SimParams,
+    n_fields: int,
+    val_idx: int,
+    padded: jax.Array,   # (n_fields+2, C_storage, pad + out_lanes + pad)
+    pad_lanes: int,      # halo width per side, multiple of CHUNK
+    out_lanes: int,      # center width, multiple of CHUNK
+):
+    """Rank-and-place compaction for the CENTER region of an explicitly
+    padded plane stack -> (compacted center planes, per-lane incoming
+    count).  The global path (_compact) pads with the table's own wrap;
+    the sharded path (parallel/spatial_table.py) pads with neighbor-shard
+    halo rows exchanged over ICI — a row that migrates across a shard
+    boundary is dropped by its owner and placed by the neighbor in this
+    same pass (it sits in the neighbor's halo window)."""
     g, cap = params.resolved_grid_dim(), params.storage_capacity()
-    gg = g * g
     nh = _n_halo(g)
-    halo = nh * CHUNK
     nfp = n_fields + 2
-
-    # wrap halos: lane arithmetic is exact for y (lane = iy*G + ix), and the
-    # x edge columns are guarded empty by the caller
-    padded = jnp.concatenate(
-        [planes[:, :, gg - halo :], planes, planes[:, :, :halo]], axis=-1
-    )
+    assert pad_lanes % CHUNK == 0 and out_lanes % CHUNK == 0
+    pad_tiles = pad_lanes // CHUNK
+    assert pad_tiles >= nh
 
     kernel = _make_compact_kernel(n_fields, cap, g)
     n_tiles = 2 * nh + 1
+    n_out_tiles = out_lanes // CHUNK
+    total_tiles = padded.shape[-1] // CHUNK
 
     def window_count(per_row):
-        """Per-tile count of flagged rows anywhere in the tile's halo
-        window (tile-granular rolling sum)."""
-        tile = jnp.sum(per_row.reshape(cap, gg // CHUNK, CHUNK), axis=(0, 2))
-        win = tile
-        for s in range(1, nh + 1):
-            win = win + jnp.roll(tile, s) + jnp.roll(tile, -s)
+        """Per-center-tile count of flagged rows anywhere in the tile's
+        halo window (windowed sum over padded tiles, no wrap — the pad
+        carries the wrap/neighbor data)."""
+        tile = jnp.sum(
+            per_row.reshape(cap, total_tiles, CHUNK), axis=(0, 2)
+        )
+        win = jnp.zeros((n_out_tiles,), tile.dtype)
+        for sft in range(-nh, nh + 1):
+            win = win + jax.lax.dynamic_slice(
+                tile, (pad_tiles + sft,), (n_out_tiles,)
+            )
         return win.astype(jnp.int32)
 
     # conservative per-tile gates: occupancy anywhere in the window (if
     # zero, no row can land here) and, per mover offset, whether any row
     # in the window moves by exactly that offset (see kernel docstring)
-    val_rows = planes[val_idx] > 0.5
+    val_rows = padded[val_idx] > 0.5
     win_occ = window_count(val_rows)
-    dxp, dyp = planes[n_fields], planes[n_fields + 1]
+    dxp, dyp = padded[n_fields], padded[n_fields + 1]
     off_cnt = jnp.stack(
         [
             window_count(val_rows & (dxp == -ox) & (dyp == -oy))
             for ox, oy in OFFSETS9[1:]
         ],
         axis=-1,
-    )  # (n_tiles, 8)
+    )  # (n_out_tiles, 8)
 
+    tile0 = pad_tiles - nh  # first window tile for center tile 0
     in_specs = [
         pl.BlockSpec(
             (nfp, cap, CHUNK),
-            functools.partial(lambda k, i, occ, mov: (0, 0, i + k), k),
+            functools.partial(
+                lambda k, i, occ, mov: (0, 0, i + k + tile0), k
+            ),
             memory_space=pltpu.VMEM,
         )
         for k in range(n_tiles)
@@ -197,7 +210,7 @@ def _compact(params: SimParams, n_fields: int, val_idx: int, planes: jax.Array):
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(gg // CHUNK,),
+            grid=(n_out_tiles,),
             in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec(
@@ -215,12 +228,31 @@ def _compact(params: SimParams, n_fields: int, val_idx: int, planes: jax.Array):
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((n_fields, cap, gg), jnp.float32),
-            jax.ShapeDtypeStruct((1, gg), jnp.float32),
+            jax.ShapeDtypeStruct((n_fields, cap, out_lanes), jnp.float32),
+            jax.ShapeDtypeStruct((1, out_lanes), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
     )(win_occ, off_cnt, *([padded] * n_tiles))
     return out, cnt[0]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _compact(params: SimParams, n_fields: int, val_idx: int, planes: jax.Array):
+    """planes (n_fields+2, C_storage, G*G) -> (compacted planes,
+    per-lane incoming count (G*G,)).  ``val_idx`` locates the occupancy
+    plane for the skip gate.  C_storage includes the overflow spill
+    sublanes: rows ranked past cell_capacity stay resident (invisible to
+    the force kernel) instead of forcing the exact fallback."""
+    g = params.resolved_grid_dim()
+    gg = g * g
+    halo = _n_halo(g) * CHUNK
+
+    # wrap halos: lane arithmetic is exact for y (lane = iy*G + ix), and the
+    # x edge columns are guarded empty by the caller
+    padded = jnp.concatenate(
+        [planes[:, :, gg - halo :], planes, planes[:, :, :halo]], axis=-1
+    )
+    return compact_padded(params, n_fields, val_idx, padded, halo, gg)
 
 
 def _wrap_center(d: jax.Array, g: int) -> jax.Array:

@@ -188,3 +188,72 @@ def test_sweep_sharded_pallas_table(eight_devices):
     _, sharded = run_sweep(p, seeds, 100, mesh=default_mesh(), record_every=100)
     _, local = run_sweep(p, seeds, 100, mesh=None, record_every=100)
     np.testing.assert_allclose(sharded, local, atol=1e-5)
+
+
+def test_sharded_table_matches_unsharded(eight_devices):
+    # the sharded TABLE loop (grid rows over the mesh, ppermute halos,
+    # non-Newton ext kernel) vs the single-device table loop: with
+    # phase_std=0 both are deterministic; they differ only by float
+    # reassociation (Newton vs non-Newton summation order)
+    from particlerobotsimulations_tpu.engine_table import make_run_chunk_table
+    from particlerobotsimulations_tpu.parallel.spatial_table import (
+        make_sharded_table_run,
+    )
+
+    p = small_params(
+        n_cells=200, phase_std=0.0, force_backend=ForceBackend.PALLAS,
+        light_x=-5.0, seed=3,
+    )
+    mesh = default_mesh("bots")
+    run, p2 = make_sharded_table_run(p, mesh, axis="bots")
+    st = Simulation(p2).state
+    noise = 1e-4 * jax.random.normal(jax.random.key(99), st.pos.shape)
+    st = st._replace(pos=st.pos + noise)
+    out = run(jax.tree.map(jnp.copy, st), 12)
+    ref = make_run_chunk_table(p2)(jax.tree.map(jnp.copy, st), 12)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel), atol=1e-4)
+    assert int(out.step) == 12
+
+
+def test_sharded_table_fallback_recovers(eight_devices):
+    # >1-cell moves per rebuild window force the exact global fallback
+    # (all-gather + argsort, replicated) — the run must stay healthy with
+    # every bot tracked across shard boundaries
+    from particlerobotsimulations_tpu.parallel.spatial_table import (
+        make_sharded_table_run,
+    )
+    from particlerobotsimulations_tpu.state import active_mask
+
+    p = small_params(
+        n_cells=64, phase_std=0.0, force_backend=ForceBackend.PALLAS,
+        light_x=-5.0, seed=3,
+    )
+    run, p2 = make_sharded_table_run(p, default_mesh("bots"), axis="bots")
+    st = Simulation(p2).state
+    mask = active_mask(p2, st.pos.shape[0])
+    st = st._replace(
+        vel=jnp.where(mask[:, None], jnp.asarray([[50.0, 0.0]]), 0.0)
+    )
+    before = np.asarray(st.pos)[:64].mean(0)
+    out = run(st, 16)
+    pos = np.asarray(out.pos)[:64]
+    assert np.isfinite(pos).all()
+    assert pos.mean(0)[0] - before[0] > 2.0
+    assert np.linalg.norm(pos - pos.mean(0), axis=1).max() < 6.0
+
+
+def test_sharded_table_dead_injection(eight_devices):
+    from particlerobotsimulations_tpu.parallel.spatial_table import (
+        make_sharded_table_run,
+    )
+
+    p = small_params(
+        n_cells=64, n_dead=9, time_to_dead=0.05, phase_std=0.0,
+        force_backend=ForceBackend.PALLAS, light_x=-5.0, seed=3,
+    )
+    run, p2 = make_sharded_table_run(p, default_mesh("bots"), axis="bots")
+    out = run(Simulation(p2).state, 10)
+    assert int(np.asarray(out.dead)[:64].sum()) == 9
+    out2 = run(out, 10)  # no re-injection
+    assert int(np.asarray(out2.dead)[:64].sum()) == 9

@@ -41,7 +41,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import Control, SimParams
@@ -380,7 +380,7 @@ def make_sharded_table_run(params: SimParams, mesh: Mesh, axis: str = "bots"):
             mesh=mesh,
             in_specs=(P(),),
             out_specs=P(),
-            check_rep=False,
+            check_vma=False,
         )
         return fn(state)
 

@@ -93,7 +93,6 @@ def make_sharded_table_run(params: SimParams, mesh: Mesh, axis: str = "bots"):
     H = HALO_ROWS * g            # halo lanes per side
     center_len = cs * L0         # local table rows (flat)
     total, total_ext, n_pad = _geometry(params)
-    local_len = center_len + n_pad
     nf = len(MOVE_FIELDS)
     vi = MOVE_FIELDS.index("val")
     k_rb = max(1, params.slot_rebuild_steps)

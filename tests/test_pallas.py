@@ -92,3 +92,48 @@ def test_pallas_payload_factors():
     rad = jnp.full((n_pad,), 0.0775, jnp.float32)
     nv, fa, fr = pallas_stencil_collide(p, jnp.asarray(pos), vel, rad, mask, payload, 0.01)
     assert float(fa[0]) == 0.0 and float(fa[1]) == 0.0
+
+
+def test_ext_nonnewton_kernel_matches_newton():
+    # the halo-extended NON-Newton kernel (sharded-table force pass) with
+    # the global table's own wrap rows as halos must reproduce the Newton
+    # kernel's forces to float32 reassociation
+    from particlerobotsimulations_tpu import Config, Simulation
+    from particlerobotsimulations_tpu.ops.pallas_stencil import (
+        FIELDS,
+        _stencil_forces_pallas,
+        assign_slots_slotmajor,
+        stencil_forces_pallas_ext,
+    )
+    from particlerobotsimulations_tpu.state import active_mask
+
+    p = SimParams(
+        n_cells=800, n_dead=0, seed=2, config=Config.HEX, light_x=-5.0,
+        grid_dim=32,
+    ).validate()
+    g, cap = p.resolved_grid_dim(), p.cell_capacity
+    gg = g * g
+    st = Simulation(p).state
+    n_pad = st.pos.shape[0]
+    mask = active_mask(p, n_pad)
+    pos = st.pos + jax.random.uniform(
+        jax.random.PRNGKey(0), st.pos.shape, minval=-1e-3, maxval=1e-3
+    )
+    slot, _ = assign_slots_slotmajor(p, pos, mask)
+    rows = jnp.stack(
+        [pos[:, 0], pos[:, 1], st.vel[:, 0], st.vel[:, 1], st.rad,
+         mask.astype(jnp.float32), jnp.ones((n_pad,))], -1,
+    )
+    tbl = jnp.zeros((gg * cap, 7), jnp.float32).at[slot].set(rows, mode="drop")
+    planes = tbl.reshape(cap, gg, 7)
+    tables = {k: planes[:, :, j] for j, k in enumerate(FIELDS)}
+
+    ref = _stencil_forces_pallas(p, tables)
+    H = 4 * g  # HALO_ROWS rows; 128-lane aligned since g % 32 == 0
+    ext = {
+        k: jnp.concatenate([v[:, gg - H:], v, v[:, :H]], axis=-1)
+        for k, v in tables.items()
+    }
+    out = stencil_forces_pallas_ext(p, ext, H, gg)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -68,3 +68,47 @@ def test_shadow_modes_run_at_engine_level():
     assert np.allclose(rads[2], base.min_radius, atol=1e-6)
     # mode 1 modulates late: by t=9 the shadowed bots are expanding
     assert rads[1].max() > base.min_radius + 1e-4
+
+
+def test_random_config_fuzz_stays_healthy():
+    # config-space fuzz: random-but-plausible parameter draws must run a
+    # short horizon without NaNs, containment violations, or overflow on
+    # both the portable and the production backend families.  Guards the
+    # parameter plumbing (cfg keys -> SimParams -> ops) against
+    # combination regressions; seeds are fixed so failures reproduce.
+    rng = np.random.default_rng(123)
+    for trial in range(4):
+        n = int(rng.integers(24, 400))
+        p = SimParams(
+            n_cells=n,
+            n_dead=int(rng.integers(0, max(1, n // 8))),
+            time_to_dead=float(rng.uniform(0.02, 0.2)),
+            seed=int(rng.integers(0, 1 << 16)),
+            # HEX and RANDOM are the physically-valid generators; GRID
+            # faithfully replicates the reference's y-zeroing quirk
+            # (particlebot.cpp:413-436) and degenerates to an overlapping
+            # line that explodes at any n — in the reference too
+            config=Config.HEX if trial % 2 else Config.RANDOM,
+            force_backend=(
+                ForceBackend.PALLAS if trial % 2 else ForceBackend.DENSE
+            ),
+            rise_period=float(rng.uniform(1.0, 6.0)),
+            phase_std=float(rng.uniform(0.0, 1.0)),
+            attraction=float(rng.uniform(0.5, 3.0)),
+            friction=float(rng.uniform(0.0, 0.4)),
+            light_x=float(rng.uniform(-20.0, -2.0)),
+            light_y=float(rng.uniform(-5.0, 5.0)),
+            circle_obstacles=(
+                ((-3.0, 1.0, float(rng.uniform(0.3, 1.0))),)
+                if trial % 2
+                else ()
+            ),
+            phase_update_interval=float(rng.uniform(0.1, 2.0)),
+        )
+        sim = Simulation(p)
+        sim.step_chunk(40)
+        h = sim.health()
+        assert h["finite"], f"trial {trial}: non-finite state ({p})"
+        assert h["cell_overflow"] == 0, f"trial {trial}: overflow ({p})"
+        pos = np.asarray(sim.host_view()[0])
+        assert np.abs(pos).max() <= p.world_half + 1e-3, f"trial {trial}: escaped box"

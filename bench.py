@@ -18,9 +18,11 @@ import jax.numpy as jnp
 import numpy as np
 
 N_BOTS = 10_000
-STEPS = 6000  # long chunks amortize the ~24ms relay dispatch latency
-# (6000 steps ~ 0.9 s/call at current speed — far under the ~2 min
-# single-call watchdog, and dispatch becomes <3% of the measurement)
+STEPS = 60_000  # long chunks amortize the ~24ms relay dispatch latency
+# (60000 steps ~ 6.5 s/call at current speed — far under the ~2 min
+# single-call watchdog, and dispatch becomes <0.4% of the measurement;
+# 60000 is also a multiple of the 200-step gate segment, so every chunk
+# enters the amortized-cond fast path)
 TARGET = 1.0e8
 
 
@@ -65,14 +67,16 @@ def build():
 def main():
     params, state, run, batch = build()
 
+    # every chunk starts on a step that is a multiple of STEPS (itself a
+    # multiple of the 200-step gate segment) -> amortized-cond fast path
     # warmup / compile (same scan length as the timed runs)
-    state = run(state, STEPS)
+    state = run(state, STEPS, True)
     _sync(state)
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        state = run(state, STEPS)
+        state = run(state, STEPS, True)
         _sync(state)
         best = min(best, time.perf_counter() - t0)
 

@@ -210,8 +210,10 @@ def main(argv=None) -> int:
     sim_p = sub.add_parser("simulate", help="run one scenario from a .cfg")
     sim_p.add_argument("cfg")
     sim_p.add_argument("--video", action="store_true", help="record AVI video")
-    sim_p.add_argument("--video-width", type=int, default=960)
-    sim_p.add_argument("--video-height", type=int, default=540)
+    # reference default geometry: 1920x1080 @ 20 FPS (main.cpp:65,
+    # postprocess.cu:102)
+    sim_p.add_argument("--video-width", type=int, default=1920)
+    sim_p.add_argument("--video-height", type=int, default=1080)
     sim_p.add_argument("--video-codec", choices=["MJPG", "DIB "], default="MJPG",
                        help="MJPG (compressed, default) or 'DIB ' (raw)")
     sim_p.add_argument("--video-quality", type=int, default=90,

@@ -212,31 +212,6 @@ def make_step(
     return step
 
 
-def _slot_carry_fns(params: SimParams):
-    """(init_slot, refresh_slot) for the slot-reuse carry, or None."""
-    if (
-        params.resolved_backend() != ForceBackend.PALLAS
-        or params.slot_rebuild_steps <= 1
-    ):
-        return None
-    from .ops.pallas_stencil import assign_slots_slotmajor
-
-    n_pad = padded_n(params)
-    k = params.slot_rebuild_steps
-
-    def assign(state: SimState) -> jax.Array:
-        mask = active_mask(params, n_pad)
-        slot, _ = assign_slots_slotmajor(params, state.pos, mask)
-        return slot
-
-    def refresh(state: SimState, slot: jax.Array) -> jax.Array:
-        return jax.lax.cond(
-            state.step % k == 0, lambda: assign(state), lambda: slot
-        )
-
-    return assign, refresh
-
-
 def make_run_chunk(params: SimParams) -> Callable[[SimState, int], SimState]:
     """``run_chunk(state, n_steps)`` — n_steps of physics fused in one jitted
     ``lax.scan``; n_steps is static (one compile per distinct chunk size).
@@ -249,34 +224,38 @@ def make_run_chunk(params: SimParams) -> Callable[[SimState, int], SimState]:
 
         return make_run_chunk_table(params)
     step = make_step(params)
-    slot_fns = _slot_carry_fns(params)
+    # (the PALLAS backend early-returned above, so there is no slot carry
+    # here — DENSE/STENCIL/CELLGRID need no slot reuse)
 
-    @functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
-    def run_chunk(state: SimState, n_steps: int) -> SimState:
-        if slot_fns is None:
-            def body(s, _):
-                return step(s), None
+    @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=0)
+    def run_chunk(
+        state: SimState, n_steps: int, seg_aligned: bool = False
+    ) -> SimState:
+        # seg_aligned is accepted for signature parity with the table loop
+        # (engine_table.make_run_chunk_table); on these backends the
+        # interval conds are noise next to the force pass, so it is a no-op.
+        del seg_aligned
 
-            out, _ = jax.lax.scan(body, state, None, length=n_steps)
-            return out
+        def body(s, _):
+            return step(s), None
 
-        assign, refresh = slot_fns
-
-        def body(carry, _):
-            s, slot = carry
-            slot = refresh(s, slot)
-            return (step(s, slot=slot), slot), None
-
-        (out, _), _ = jax.lax.scan(
-            body, (state, assign(state)), None, length=n_steps
-        )
+        out, _ = jax.lax.scan(body, state, None, length=n_steps)
         return out
 
     return run_chunk
 
 
 def make_run_chunk_batched(params: SimParams) -> Callable:
-    """vmapped variant: state pytree carries a leading batch axis (scenes)."""
+    """vmapped variant: state pytree carries a leading batch axis (scenes).
+
+    LOCKSTEP REQUIRED: every scene in the batch must share the same step
+    counter — the interval gates (dead/cog/phase) are derived from scene
+    0's counter only, so a batch of heterogeneous counters (e.g. scenes
+    resumed from different times) would silently mis-time gating for
+    scenes != 0.  All batch builders in this package (parallel/sweep.py,
+    cli sweep/experiment) start every scene at step 0 and advance them
+    together; assemble ad-hoc batches the same way or run them unbatched.
+    """
     if params.validate().resolved_backend() == ForceBackend.PALLAS:
         from .engine_table import make_run_chunk_table_batched
 
@@ -291,8 +270,12 @@ def make_run_chunk_batched(params: SimParams) -> Callable:
         in_axes=(0, None, None, None),
     )
 
-    @functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
-    def run_chunk(state: SimState, n_steps: int) -> SimState:
+    @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=0)
+    def run_chunk(
+        state: SimState, n_steps: int, seg_aligned: bool = False
+    ) -> SimState:
+        del seg_aligned  # signature parity with the table loop; no-op here
+
         def body(s, _):
             s0 = s.step[0]
             dead_gate = (

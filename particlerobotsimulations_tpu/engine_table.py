@@ -313,6 +313,36 @@ def _gates(params: SimParams, step: jax.Array):
     )
 
 
+def gate_seg(params: SimParams) -> int:
+    """Gate-segment length for the amortized-cond chunk loop, or 0.
+
+    Interval gates (centroid every ``centroid_int``, phase every
+    ``phase_update_interval``, and the one-shot dead injection) can only
+    fire on steps that are multiples of the gcd of their step intervals.
+    When a chunk starts on a multiple of that gcd, every gate-eligible
+    step is the FIRST step of a ``seg``-step segment — so the chunk can
+    scan over segments whose first step carries the traced conds and
+    whose remaining ``seg - 1`` steps are statically ungated.  The cond
+    cost (measured ~6 µs/step at 10k bots even when no gate fires —
+    cond operands defeat XLA buffer reuse) then amortizes to 1/seg.
+
+    Returns 0 when the fast path does not apply: a dead-injection step
+    that is not seg-aligned, or a rebuild period that does not tile the
+    segment."""
+    import math
+
+    k = max(1, params.slot_rebuild_steps)
+    ints = [params.centroid_steps_interval]
+    if params.control == Control.LIGHT_WAVE:
+        ints.append(params.phase_update_steps)
+    seg = math.gcd(*ints)
+    if params.n_dead > 0 and params.dead_step % seg != 0:
+        return 0
+    if k > 8 or seg % k != 0 or seg < k:
+        return 0
+    return seg
+
+
 def make_table_step_parts(params: SimParams):
     """(step_pre, step_post): the physics step split around the rebuild.
 
@@ -337,20 +367,25 @@ def make_table_step_parts(params: SimParams):
 
     def step_pre(
         ts: TableState,
-        dead_gate: jax.Array,
-        cog_gate: jax.Array,
-        phase_gate: jax.Array,
+        dead_gate,
+        cog_gate,
+        phase_gate,
     ) -> TableState:
         """The gates are SCALAR step predicates supplied by the caller so
         they survive vmap as real ``lax.cond``s (a batched predicate would
-        decay every gate to a computed-then-discarded select)."""
+        decay every gate to a computed-then-discarded select).  A gate may
+        also be the python bool ``False``: the op is then statically absent
+        from this step instance — the segment-aligned chunk loop uses this
+        to keep traced conds out of the hot scan body entirely (a traced
+        cond costs ~µs/step in defeated buffer reuse even when it never
+        fires; measured round 3, see make_run_chunk_table)."""
         f = dict(ts.fields)
         time = ts.step.astype(f32) * f32(dt)
         step_key = jax.random.fold_in(ts.key, ts.step)
         val = f["val"] > 0.5
 
         # 1. dead-cell injection (one-shot, under cond)
-        if params.n_dead > 0:
+        if params.n_dead > 0 and dead_gate is not False:
             f["dead"] = jax.lax.cond(
                 dead_gate,
                 lambda: _inject_dead_table(params, f, step_key),
@@ -368,13 +403,16 @@ def make_table_step_parts(params: SimParams):
                 (ring_idx, 0),
             )
 
-        ring = jax.lax.cond(cog_gate, write_ring, lambda: ts.centroid_ring)
+        if cog_gate is False:
+            ring = ts.centroid_ring
+        else:
+            ring = jax.lax.cond(cog_gate, write_ring, lambda: ts.centroid_ring)
 
         # 3. phase controller (1/phase_update_interval steps, under cond —
         #    the raycast + noise draw actually only run on gate steps; the
         #    (N, 2) position stack lives INSIDE the branch so off steps
         #    don't even pay the interleave)
-        if params.control == Control.LIGHT_WAVE:
+        if params.control == Control.LIGHT_WAVE and phase_gate is not False:
 
             def do_phase():
                 pos_t = jnp.stack([f["px"], f["py"]], axis=-1)
@@ -413,7 +451,10 @@ def make_table_step_parts(params: SimParams):
         tables = {
             k: f[k][:force_total].reshape(cap, g * g) for k in KERNEL_FIELDS
         }
-        fx, fy, fa, fr = _stencil_forces_pallas(params, tables)
+        # edge_guarded: the table's anchoring invariant (EDGE_MARGIN plus
+        # the rebuild's margin-1 fallback) keeps wrapped edge columns
+        # empty, so the preshift can skip its x-wrap fix rolls
+        fx, fy, fa, fr = _stencil_forces_pallas(params, tables, True)
         pad = total_ext - force_total  # spill rows + parking get zero force
         zpad = jnp.zeros((pad,), f32)
         fxf = jnp.concatenate([fx.reshape(force_total), zpad])
@@ -481,10 +522,22 @@ def make_table_step(params: SimParams):
 
 def make_run_chunk_table(params: SimParams):
     """Drop-in replacement for engine.make_run_chunk on the PALLAS backend:
-    ``run_chunk(state, n_steps) -> state`` with table-resident stepping."""
+    ``run_chunk(state, n_steps, seg_aligned=False) -> state`` with
+    table-resident stepping.
+
+    ``seg_aligned`` (static) asserts that ``state.step`` is a multiple of
+    ``gate_seg(params)`` (the gcd of all interval-gate periods, 200 steps
+    at reference defaults).  The chunk then scans gate segments: only the
+    FIRST step of each segment carries the traced interval conds, the
+    other ``seg-1`` step instances are statically ungated — interval
+    semantics are bit-identical (non-seg-multiple steps can never fire a
+    gate) but the measured ~6 µs/step cond-presence cost at 10k bots
+    amortizes to 1/200.  Callers must pass True only when the entry step
+    really is seg-aligned (Simulation.run checks host-side)."""
     params = params.validate()
     step = make_table_step(params)
     k = max(1, params.slot_rebuild_steps)
+    seg = gate_seg(params)
 
     # blocks of k steps whose LAST step rebuilds statically (no traced
     # rebuild cond in the scan body — see the note in make_table_step).
@@ -501,44 +554,83 @@ def make_run_chunk_table(params: SimParams):
     total_rows = _geometry(params)[0]
     unroll_body = total_rows <= (1 << 20)
 
-    @functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
-    def run_chunk(state: SimState, n_steps: int) -> SimState:
+    @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=0)
+    def run_chunk(
+        state: SimState, n_steps: int, seg_aligned: bool = False
+    ) -> SimState:
         ts = enter_table(params, state)
 
-        def step_at(ts: TableState, rebuild_gate):
-            return step(ts, *_gates(params, ts.step), rebuild_gate)
+        def step_at(ts: TableState, rebuild_gate, gated: bool = True):
+            gates = _gates(params, ts.step) if gated else (False, False, False)
+            return step(ts, *gates, rebuild_gate)
 
         def plain(ts: TableState, _):
             return step_at(ts, False), None
 
-        if k == 1:
-            def body(ts: TableState, _):
-                return step_at(ts, True), None
+        def plain_u(ts: TableState, _):
+            return step_at(ts, False, gated=False), None
 
-            ts, _ = jax.lax.scan(body, ts, None, length=n_steps)
-        elif unroll_blocks:
-            n_blocks, rem = divmod(n_steps, k)
+        def block_at(ts: TableState, first_gated: bool) -> TableState:
+            """One k-step rebuild block; only its first step (a potential
+            gate step in the segment schedule) checks the interval conds."""
+            if unroll_body:
+                for j in range(k):
+                    ts = step_at(ts, j == k - 1, gated=first_gated and j == 0)
+            else:
+                ts = step_at(ts, k == 1, gated=first_gated)
+                if k > 1:
+                    if k > 2:
+                        ts, _ = jax.lax.scan(plain_u, ts, None, length=k - 2)
+                    ts = step_at(ts, True, gated=False)
+            return ts
 
-            def block(ts: TableState, _):
-                if unroll_body:
-                    for j in range(k):
-                        ts = step_at(ts, j == k - 1)
-                else:
-                    ts, _ = jax.lax.scan(plain, ts, None, length=k - 1)
-                    ts = step_at(ts, True)
+        use_seg = seg_aligned and seg > 0 and (k == 1 or unroll_blocks)
+        n_segs, n_rem = divmod(n_steps, seg) if use_seg else (0, n_steps)
+        if n_segs:
+            bps = seg // k
+
+            def seg_body(ts: TableState, _):
+                ts = block_at(ts, True)
+                if bps > 1:
+                    def ublock(ts, _):
+                        return block_at(ts, False), None
+
+                    ts, _ = jax.lax.scan(ublock, ts, None, length=bps - 1)
                 return ts, None
 
-            if n_blocks:
-                ts, _ = jax.lax.scan(block, ts, None, length=n_blocks)
-            if rem:
-                ts, _ = jax.lax.scan(plain, ts, None, length=rem)
-        else:
-            # k > 8: keep the traced-cond schedule (absolute-step gate);
-            # unrolling such blocks would bloat the compiled body
-            def body(ts: TableState, _):
-                return step_at(ts, ts.step % k == k - 1), None
+            ts, _ = jax.lax.scan(seg_body, ts, None, length=n_segs)
 
-            ts, _ = jax.lax.scan(body, ts, None, length=n_steps)
+        # remainder (and the whole chunk when not seg-aligned): traced
+        # per-step gates
+        if n_rem:
+            if k == 1:
+                def body(ts: TableState, _):
+                    return step_at(ts, True), None
+
+                ts, _ = jax.lax.scan(body, ts, None, length=n_rem)
+            elif unroll_blocks:
+                n_blocks, rem = divmod(n_rem, k)
+
+                def block(ts: TableState, _):
+                    if unroll_body:
+                        for j in range(k):
+                            ts = step_at(ts, j == k - 1)
+                    else:
+                        ts, _ = jax.lax.scan(plain, ts, None, length=k - 1)
+                        ts = step_at(ts, True)
+                    return ts, None
+
+                if n_blocks:
+                    ts, _ = jax.lax.scan(block, ts, None, length=n_blocks)
+                if rem:
+                    ts, _ = jax.lax.scan(plain, ts, None, length=rem)
+            else:
+                # k > 8: keep the traced-cond schedule (absolute-step gate);
+                # unrolling such blocks would bloat the compiled body
+                def body(ts: TableState, _):
+                    return step_at(ts, ts.step % k == k - 1), None
+
+                ts, _ = jax.lax.scan(body, ts, None, length=n_rem)
         return exit_table(params, ts)
 
     return run_chunk
@@ -565,12 +657,18 @@ def make_run_chunk_table_batched(params: SimParams):
     unroll_blocks = 1 < k <= 8
     unroll_body = _geometry(params)[0] <= (1 << 20)
 
-    @functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
-    def run_chunk(state: SimState, n_steps: int) -> SimState:
+    seg = gate_seg(params)
+
+    @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=0)
+    def run_chunk(
+        state: SimState, n_steps: int, seg_aligned: bool = False
+    ) -> SimState:
         ts = venter(state)
 
-        def step_at(ts: TableState, rebuild: bool):
-            gates = _gates(params, ts.step[0])
+        def step_at(ts: TableState, rebuild: bool, gated: bool = True):
+            gates = (
+                _gates(params, ts.step[0]) if gated else (False, False, False)
+            )
             ts = vpre(ts, *gates)
             if rebuild:
                 ts = _smart_rebuild_batched(params, ts)
@@ -579,41 +677,73 @@ def make_run_chunk_table_batched(params: SimParams):
         def plain(ts: TableState, _):
             return step_at(ts, False), None
 
-        if k == 1:
-            def body(ts: TableState, _):
-                return step_at(ts, True), None
+        def plain_u(ts: TableState, _):
+            return step_at(ts, False, gated=False), None
 
-            ts, _ = jax.lax.scan(body, ts, None, length=n_steps)
-        elif unroll_blocks:
-            n_blocks, rem = divmod(n_steps, k)
+        def block_at(ts: TableState, first_gated: bool) -> TableState:
+            if unroll_body:
+                for j in range(k):
+                    ts = step_at(ts, j == k - 1, gated=first_gated and j == 0)
+            else:
+                ts = step_at(ts, k == 1, gated=first_gated)
+                if k > 1:
+                    if k > 2:
+                        ts, _ = jax.lax.scan(plain_u, ts, None, length=k - 2)
+                    ts = step_at(ts, True, gated=False)
+            return ts
 
-            def block(ts: TableState, _):
-                if unroll_body:
-                    for j in range(k):
-                        ts = step_at(ts, j == k - 1)
-                else:
-                    ts, _ = jax.lax.scan(plain, ts, None, length=k - 1)
-                    ts = step_at(ts, True)
+        use_seg = seg_aligned and seg > 0 and (k == 1 or unroll_blocks)
+        n_segs, n_rem = divmod(n_steps, seg) if use_seg else (0, n_steps)
+        if n_segs:
+            bps = seg // k
+
+            def seg_body(ts: TableState, _):
+                ts = block_at(ts, True)
+                if bps > 1:
+                    def ublock(ts, _):
+                        return block_at(ts, False), None
+
+                    ts, _ = jax.lax.scan(ublock, ts, None, length=bps - 1)
                 return ts, None
 
-            if n_blocks:
-                ts, _ = jax.lax.scan(block, ts, None, length=n_blocks)
-            if rem:
-                ts, _ = jax.lax.scan(plain, ts, None, length=rem)
-        else:
-            # k > 8: traced rebuild cond on a scalar gate, outside vmap
-            def body(ts: TableState, _):
-                s0 = ts.step[0]
-                ts = vpre(ts, *_gates(params, s0))
-                ts = jax.lax.cond(
-                    s0 % k == k - 1,
-                    lambda t: _smart_rebuild_batched(params, t),
-                    lambda t: t,
-                    ts,
-                )
-                return vpost(ts), None
+            ts, _ = jax.lax.scan(seg_body, ts, None, length=n_segs)
 
-            ts, _ = jax.lax.scan(body, ts, None, length=n_steps)
+        if n_rem:
+            if k == 1:
+                def body(ts: TableState, _):
+                    return step_at(ts, True), None
+
+                ts, _ = jax.lax.scan(body, ts, None, length=n_rem)
+            elif unroll_blocks:
+                n_blocks, rem = divmod(n_rem, k)
+
+                def block(ts: TableState, _):
+                    if unroll_body:
+                        for j in range(k):
+                            ts = step_at(ts, j == k - 1)
+                    else:
+                        ts, _ = jax.lax.scan(plain, ts, None, length=k - 1)
+                        ts = step_at(ts, True)
+                    return ts, None
+
+                if n_blocks:
+                    ts, _ = jax.lax.scan(block, ts, None, length=n_blocks)
+                if rem:
+                    ts, _ = jax.lax.scan(plain, ts, None, length=rem)
+            else:
+                # k > 8: traced rebuild cond on a scalar gate, outside vmap
+                def body(ts: TableState, _):
+                    s0 = ts.step[0]
+                    ts = vpre(ts, *_gates(params, s0))
+                    ts = jax.lax.cond(
+                        s0 % k == k - 1,
+                        lambda t: _smart_rebuild_batched(params, t),
+                        lambda t: t,
+                        ts,
+                    )
+                    return vpost(ts), None
+
+                ts, _ = jax.lax.scan(body, ts, None, length=n_rem)
         return vexit(ts)
 
     return run_chunk

@@ -84,17 +84,28 @@ def _lane_x(g: int, gg: int) -> jax.Array:
     return jax.lax.broadcasted_iota(jnp.int32, (gg, 1), 0).reshape(gg) % g
 
 
-def _preshift_flat(stacked: jax.Array, g: int, dx: int, dy: int) -> jax.Array:
+def _preshift_flat(
+    stacked: jax.Array, g: int, dx: int, dy: int, wrap_fix: bool = True
+) -> jax.Array:
     """out[..., y*G+x] = stacked[..., ((y+dy)%G)*G + (x+dx)%G] via flat
     lane rolls: a y-shift is exactly a flat roll by dy*G (row wrap == grid
     wrap), and a dx = +-1 x-shift is a flat roll by dx that is wrong only
     on one edge column (x == G-1 for +1, x == 0 for -1), fixed with a
-    second roll + lane select."""
+    second roll + lane select.
+
+    ``wrap_fix=False`` drops the fix roll + select: the edge column then
+    reads a neighbor-row cell instead of the wrapped one.  This is exact
+    whenever the wrapped edge columns (x == 0 and x == G-1) hold no bots —
+    the table loop's anchoring invariant (enter_table/_rebuild anchor the
+    blob EDGE_MARGIN=2 cells in, and the incremental rebuild's edge guard
+    falls back before any bot reaches margin 1, ops/table_rebuild.py), so
+    mis-wrapped candidates always carry val == 0 and every pair term they
+    touch is exactly 0.0 either way."""
     gg = stacked.shape[-1]
     if dx == 0 and dy == 0:
         return stacked
     main = jnp.roll(stacked, -(dy * g + dx), axis=-1)
-    if dx == 0:
+    if dx == 0 or not wrap_fix:
         return main
     if dx == 1:
         fix = jnp.roll(stacked, -(dy * g + dx - g), axis=-1)
@@ -104,12 +115,17 @@ def _preshift_flat(stacked: jax.Array, g: int, dx: int, dy: int) -> jax.Array:
     return jnp.where(_lane_x(g, gg) == 0, fix, main)
 
 
-def _realign_flat(r: jax.Array, g: int, dx: int, dy: int) -> jax.Array:
+def _realign_flat(
+    r: jax.Array, g: int, dx: int, dy: int, wrap_fix: bool = True
+) -> jax.Array:
     """Inverse move for Newton reactions: the reaction computed at cell s
-    for the candidate block (dx, dy) belongs at cell s + (dy, dx)."""
+    for the candidate block (dx, dy) belongs at cell s + (dy, dx).
+    ``wrap_fix=False`` as in _preshift_flat: reactions that would x-wrap
+    belong to edge-column candidates, which are all-zero under the table
+    loop's anchoring invariant."""
     gg = r.shape[-1]
     main = jnp.roll(r, dy * g + dx, axis=-1)
-    if dx == 0:
+    if dx == 0 or not wrap_fix:
         return main
     fix = jnp.roll(r, dy * g + dx - g, axis=-1)
     return jnp.where(_lane_x(g, gg) < dx, fix, main)
@@ -212,8 +228,39 @@ def _pair_block(
     return fx, fy, ma, mc
 
 
-def _make_kernel(params: SimParams):
+def _kernel_fields(params: SimParams) -> tuple:
+    """Field planes the kernel actually needs stacked/pre-shifted.
+
+    Without a payload every bot's attraction factor is 1, so the afac
+    plane is numerically identical to val (engine_table._derived_rows,
+    _bot_rows) — the kernel aliases it and the preshift moves one plane
+    less (~14% of the preshift roll traffic)."""
+    if params.has_payload:
+        return FIELDS
+    return tuple(k for k in FIELDS if k != "afac")
+
+
+def _field_dicts(fields: tuple):
+    """(tgt_fields, cand_fields) builders over a stacked block array, with
+    the afac->val alias applied when afac is not a stacked plane."""
+    def tgt(stk):
+        t = {k: stk[0, j, :, :][:, None, :] for j, k in enumerate(fields)}
+        if "afac" not in fields:
+            t["afac"] = t["val"]
+        return t
+
+    def cand(stk, b):
+        c = {k: stk[b, j, :, :][None, :, :] for j, k in enumerate(fields)}
+        if "afac" not in fields:
+            c["afac"] = c["val"]
+        return c
+
+    return tgt, cand
+
+
+def _make_kernel(params: SimParams, fields: tuple = FIELDS):
     cap = params.cell_capacity
+    tgt_fields_of, cand_fields_of = _field_dicts(fields)
 
     def kernel(occ_ref, stk, acc_ref, racc_ref):
         # occ_ref: scalar-prefetch (n_tiles,) — occupied-target count per
@@ -230,22 +277,12 @@ def _make_kernel(params: SimParams):
 
         @pl.when(occ_ref[i] > 0)
         def _():
-            def tgt_fields():
-                return {
-                    k: stk[0, j, :, :][:, None, :] for j, k in enumerate(FIELDS)
-                }
-
-            def cand_fields(b):
-                return {
-                    k: stk[b, j, :, :][None, :, :] for j, k in enumerate(FIELDS)
-                }
-
-            t = tgt_fields()
+            t = tgt_fields_of(stk)
             l = stk.shape[-1]
             acc = [jnp.zeros((cap, l), jnp.float32) for _ in range(4)]
 
             for b in range(N_BLOCKS):
-                c = cand_fields(b)
+                c = cand_fields_of(stk, b)
                 dfx, dfy, dfa, dfr = _pair_block(params, t, c, b == 0, cap)
                 acc[0] = acc[0] + jnp.sum(dfx, axis=1)
                 acc[1] = acc[1] + jnp.sum(dfy, axis=1)
@@ -275,34 +312,45 @@ def _make_kernel(params: SimParams):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _stencil_forces_pallas(params: SimParams, tables):
-    """tables: dict of (C, G*G) f32 arrays -> (fx, fy, fa, fr) (C, G*G)."""
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _stencil_forces_pallas(params: SimParams, tables, edge_guarded=False):
+    """tables: dict of (C, G*G) f32 arrays -> (fx, fy, fa, fr) (C, G*G).
+
+    ``edge_guarded=True`` (the table loop) asserts the wrapped edge
+    columns hold no bots — the anchoring invariant of
+    engine_table.enter_table/_rebuild (EDGE_MARGIN=2 plus the incremental
+    rebuild's margin-1 fallback guard) — which lets the preshift/realign
+    drop their x-wrap fix rolls (see _preshift_flat).  The per-bot collide
+    path anchors at the bare bbox (edge columns may be occupied) and must
+    keep the exact wrap."""
     g, cap = params.resolved_grid_dim(), params.cell_capacity
     gg = g * g
+    kfields = _kernel_fields(params)
+    nf = len(kfields)
+    wrap_fix = not edge_guarded
 
     # pre-shift candidate blocks with exact 2-D wrap: value read at cell
     # (y, x) is table[(y+dy) % G, (x+dx) % G]
     # (measured: packing all fields into one roll per offset is a wash —
     # XLA already batches these)
     if _PRESHIFT_MODE == "flat":
-        base = jnp.stack([tables[k] for k in FIELDS])  # (N_FIELDS, C, gg)
+        base = jnp.stack([tables[k] for k in kfields])  # (nf, C, gg)
         stk = jnp.stack(
-            [_preshift_flat(base, g, dx, dy) for dx, dy in OFFSETS]
-        )  # (N_BLOCKS, N_FIELDS, C, G*G)
+            [_preshift_flat(base, g, dx, dy, wrap_fix) for dx, dy in OFFSETS]
+        )  # (N_BLOCKS, nf, C, G*G)
     else:
         blocks = []
         for dx, dy in OFFSETS:
             fields = []
-            for k in FIELDS:
+            for k in kfields:
                 x = tables[k].reshape(cap, g, g)  # (C, G_y, G_x)
                 if dx or dy:
                     x = jnp.roll(x, (-dy, -dx), axis=(1, 2))
                 fields.append(x.reshape(cap, gg))
             blocks.append(jnp.stack(fields))
-        stk = jnp.stack(blocks)  # (N_BLOCKS, N_FIELDS, C, G*G)
+        stk = jnp.stack(blocks)  # (N_BLOCKS, nf, C, G*G)
 
-    kernel = _make_kernel(params)
+    kernel = _make_kernel(params, kfields)
     # largest lane-chunk <= LANE_CHUNK that divides G*G and keeps 128-lane
     # tiling (G*G is always a multiple of 128 since G % 16 == 0)
     chunk = min(LANE_CHUNK, gg)
@@ -322,7 +370,7 @@ def _stencil_forces_pallas(params: SimParams, tables):
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (N_BLOCKS, N_FIELDS, cap, chunk),
+                (N_BLOCKS, nf, cap, chunk),
                 lambda i, occ: (0, 0, 0, i),
                 memory_space=pltpu.VMEM,
             )
@@ -354,7 +402,7 @@ def _stencil_forces_pallas(params: SimParams, tables):
     total = acc
     for bi, (dx, dy) in enumerate(OFFSETS[1:]):
         if _PRESHIFT_MODE == "flat":
-            total = total + _realign_flat(racc[bi], g, dx, dy)
+            total = total + _realign_flat(racc[bi], g, dx, dy, wrap_fix)
         else:
             r = racc[bi].reshape(4, cap, g, g)
             r = jnp.roll(r, (dy, dx), axis=(2, 3))

@@ -32,6 +32,16 @@ single-chip loop.
 Geometry constraints: ``G % 32 == 0``, ``D | G`` and ``(G*G/D) % 128 == 0``
 keep every shard's lane block and the 4-grid-row halo pads tile-aligned;
 ``resolve_tp_params`` rounds the auto grid up to a compatible size.
+
+RNG-stream deviation: phase noise and dead-injection scores are drawn from
+per-shard streams (``fold_in(step_key, 1/7)`` then ``fold_in(d)``), so with
+``phase_std > 0`` or ``n_dead > 0`` sharded trajectories are distribution
+-identical but sample-divergent from the single-chip loop AND change with
+device count.  This mirrors the relationship the single-chip table loop
+already has to the per-bot engine (per-slot vs per-bot stream shapes,
+engine_table module docstring) and the reference's host ``rand()`` to both.
+Listed in README "Deviations"; use ``phase_std=0``/``n_dead=0`` for exact
+cross-topology comparisons.
 """
 
 from __future__ import annotations
@@ -346,10 +356,21 @@ def make_sharded_table_run(params: SimParams, mesh: Mesh, axis: str = "bots"):
             carry, _ = jax.lax.scan(body, carry, None, length=n_steps)
         elif k_rb <= 8:
             n_blocks, rem = divmod(n_steps, k_rb)
+            # mirror engine_table's compile-size guard: unrolling k force
+            # -kernel instances into one scan body is ~4 min of XLA at
+            # >2^20 local table rows — scan the k-1 plain steps instead
+            unroll_body = center_len <= (1 << 20)
+
+            def plain(c, _):
+                return step_at(c, False), None
 
             def block(c, _):
-                for j in range(k_rb):
-                    c = step_at(c, j == k_rb - 1)
+                if unroll_body:
+                    for j in range(k_rb):
+                        c = step_at(c, j == k_rb - 1)
+                else:
+                    c, _ = jax.lax.scan(plain, c, None, length=k_rb - 1)
+                    c = step_at(c, True)
                 return c, None
 
             if n_blocks:

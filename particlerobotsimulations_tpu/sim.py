@@ -40,6 +40,14 @@ class Simulation:
         self.params = params
         self.state = state
         self._run_chunk = make_run_chunk(params)
+        from .config import ForceBackend
+        from .engine_table import gate_seg
+
+        self._gate_seg = (
+            gate_seg(params.validate())
+            if params.validate().resolved_backend() == ForceBackend.PALLAS
+            else 0
+        )
 
     # ------------------------------------------------------------ builders
 
@@ -64,6 +72,20 @@ class Simulation:
         if row is None:
             return cls(params)
         t, pos, vel, rad = row
+        if params.n_dead > 0 and t >= params.time_to_dead:
+            import warnings
+
+            warnings.warn(
+                f"CSV resume at t={t:g}s is at/past time_to_dead="
+                f"{params.time_to_dead:g}s: the CSV stores no dead flags "
+                f"(reference fidelity, particlebot.cpp:369-411) and the "
+                f"one-shot injection step is already behind the resumed "
+                f"counter, so the continued run has ZERO dead bots instead "
+                f"of the {params.n_dead} the original run killed. Use "
+                f"checkpoints (Simulation.from_checkpoint) for exact "
+                f"continuation.",
+                stacklevel=2,
+            )
         sim = cls(params)  # placement establishes dead flags / payload
         n = params.n_cells
         new_state = sim.state._replace(
@@ -93,8 +115,16 @@ class Simulation:
         pos, _, _ = self.host_view()
         return pos.mean(axis=0)
 
-    def step_chunk(self, n_steps: int):
-        self.state = self._run_chunk(self.state, n_steps)
+    def step_chunk(self, n_steps: int, start_step: int | None = None):
+        """Advance ``n_steps``.  When the caller knows the host-side step
+        counter (``start_step``), chunks entered on a gate-segment boundary
+        take the amortized-cond fast path (engine_table.gate_seg)."""
+        aligned = (
+            self._gate_seg > 0
+            and start_step is not None
+            and start_step % self._gate_seg == 0
+        )
+        self.state = self._run_chunk(self.state, n_steps, aligned)
 
     def health(self) -> dict:
         """Runtime diagnostics: divergence and neighbor-table overflow.
@@ -219,7 +249,7 @@ class Simulation:
             boundary(done)
             while done < total_steps:
                 chunk = min(stride, total_steps - done)
-                self.step_chunk(chunk)
+                self.step_chunk(chunk, start_step=done)
                 done += chunk
                 boundary(done)
             if checkpoint_path:

@@ -13,7 +13,7 @@ import numpy as np
 import pytest
 
 from particlerobotsimulations_tpu import Config, ForceBackend, SimParams, Simulation
-from particlerobotsimulations_tpu.engine import _slot_carry_fns, make_step
+from particlerobotsimulations_tpu.engine import make_step
 from particlerobotsimulations_tpu.engine_table import (
     make_run_chunk_table,
     make_run_chunk_table_batched,
@@ -40,11 +40,26 @@ def jitter(state, scale=1e-4):
 
 
 def run_per_bot(p, state, n):
+    """Reference path: the per-bot step with the slot-reuse carry the
+    round-1 engine used (reassign every slot_rebuild_steps steps)."""
+    from particlerobotsimulations_tpu.config import padded_n
+    from particlerobotsimulations_tpu.ops.pallas_stencil import (
+        assign_slots_slotmajor,
+    )
+    from particlerobotsimulations_tpu.state import active_mask
+
     step = make_step(p)
-    assign, refresh = _slot_carry_fns(p)
+    mask = active_mask(p, padded_n(p))
+    k = max(1, p.slot_rebuild_steps)
+
+    def assign(s):
+        return assign_slots_slotmajor(p, s.pos, mask)[0]
+
     slot = assign(state)
     for _ in range(n):
-        slot = refresh(state, slot)
+        slot = jax.lax.cond(
+            state.step % k == 0, lambda: assign(state), lambda: slot
+        )
         state = step(state, slot=slot)
     return state
 
@@ -82,6 +97,64 @@ def test_table_loop_crosses_phase_gate():
     np.testing.assert_allclose(
         np.asarray(out.phase), np.asarray(ref.phase), atol=1e-4
     )
+
+
+def test_seg_aligned_fast_path_matches_legacy():
+    """The amortized-cond segment schedule must be physics-identical to the
+    per-step traced-cond schedule: gates can only fire on seg multiples, so
+    statically ungating the other steps changes nothing but the cond cost."""
+    from particlerobotsimulations_tpu.engine_table import gate_seg
+
+    # cog every 8 steps, phase every 12 -> seg = gcd = 4 = slot_rebuild_steps
+    p = params_(n_cells=128, centroid_int=0.08, phase_update_interval=0.12)
+    assert gate_seg(p.validate()) == 4
+    run = make_run_chunk_table(p)
+
+    def state0():
+        # fresh per call: run_chunk donates its input buffers
+        return jitter(Simulation(p).state)
+
+    # 26 = 6 segments + 2 remainder steps; crosses cog gates at 8,16,24 and
+    # phase gates at 12,24
+    legacy = run(state0(), 26, False)
+    fast = run(state0(), 26, True)
+    for field in ("pos", "vel", "rad", "phase", "centroid_ring"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fast, field)),
+            np.asarray(getattr(legacy, field)),
+            err_msg=field,
+        )
+    assert int(fast.step) == 26
+
+
+def test_seg_aligned_fast_path_batched():
+    from particlerobotsimulations_tpu.engine_table import gate_seg
+    from particlerobotsimulations_tpu.parallel.sweep import make_batch_state
+
+    p = params_(n_cells=96, centroid_int=0.08, phase_update_interval=0.12)
+    assert gate_seg(p.validate()) == 4
+    run = make_run_chunk_table_batched(p)
+    legacy = run(make_batch_state(p, seeds=[0, 1]), 14, False)
+    fast = run(make_batch_state(p, seeds=[0, 1]), 14, True)
+    for field in ("pos", "vel", "rad", "phase"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fast, field)),
+            np.asarray(getattr(legacy, field)),
+            err_msg=field,
+        )
+
+
+def test_gate_seg_guards():
+    from particlerobotsimulations_tpu.engine_table import gate_seg
+
+    # defaults: cog 1000 steps, phase 1200 -> seg 200 (k=4 divides it)
+    assert gate_seg(params_().validate()) == 200
+    # dead step off the segment lattice disables the fast path
+    p = params_(n_dead=3, time_to_dead=0.57)
+    assert gate_seg(p.validate()) == 0
+    # dead step on the lattice keeps it
+    p = params_(n_dead=3, time_to_dead=2.0)
+    assert gate_seg(p.validate()) == 200
 
 
 def test_table_loop_dead_injection():

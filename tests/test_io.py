@@ -63,6 +63,26 @@ def test_run_and_resume(tmp_path):
     np.testing.assert_allclose(rad_a, rad_b, atol=1e-5)
 
 
+def test_resume_past_dead_step_warns(tmp_path):
+    # the CSV carries no dead flags (reference fidelity): resuming past
+    # time_to_dead silently loses the injection — must warn (VERDICT r2 #7)
+    p = small_params(n_dead=2, time_to_dead=1.0)
+    csv = tmp_path / "out.csv"
+    Simulation(p).run(csv_path=str(csv), echo=False)
+    with pytest.warns(UserWarning, match="time_to_dead"):
+        sim2 = Simulation.resume_from_csv(p, str(csv))
+    assert not np.asarray(sim2.state.dead)[: p.n_cells].any()
+    # resume before the injection step is silent
+    p2 = small_params(n_dead=2, time_to_dead=5.0)
+    csv2 = tmp_path / "out2.csv"
+    Simulation(p2).run(csv_path=str(csv2), echo=False)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        Simulation.resume_from_csv(p2, str(csv2))
+
+
 def test_no_extra_row_off_dump_boundary(tmp_path):
     # max_time not a multiple of dump_interval: the reference's dump gate
     # (particlebot.cpp:309) writes nothing at the final partial step

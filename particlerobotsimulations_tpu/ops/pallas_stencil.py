@@ -233,27 +233,35 @@ def _kernel_fields(params: SimParams) -> tuple:
 
     Without a payload every bot's attraction factor is 1, so the afac
     plane is numerically identical to val (engine_table._derived_rows,
-    _bot_rows) — the kernel aliases it and the preshift moves one plane
-    less (~14% of the preshift roll traffic)."""
+    _bot_rows) — the kernel aliases it.  val itself is recomputed from
+    rad > 0 (occupied rows always carry rad >= min_radius > 0; empty rows
+    are zero): two (C, L)-shaped compares per block against two fewer
+    planes stacked, pre-shifted, and DMA'd (~29% of the roll traffic)."""
     if params.has_payload:
-        return FIELDS
-    return tuple(k for k in FIELDS if k != "afac")
+        return tuple(k for k in FIELDS if k != "val")
+    return tuple(k for k in FIELDS if k not in ("afac", "val"))
 
 
 def _field_dicts(fields: tuple):
     """(tgt_fields, cand_fields) builders over a stacked block array, with
-    the afac->val alias applied when afac is not a stacked plane."""
-    def tgt(stk):
-        t = {k: stk[0, j, :, :][:, None, :] for j, k in enumerate(fields)}
+    the val (= rad > 0) and afac (= val, no payload) planes recomputed
+    when they are not stacked."""
+    def derive(d):
+        if "val" not in fields:
+            d["val"] = (d["rad"] > 0).astype(jnp.float32)
         if "afac" not in fields:
-            t["afac"] = t["val"]
-        return t
+            d["afac"] = d["val"]
+        return d
+
+    def tgt(stk):
+        return derive(
+            {k: stk[0, j, :, :][:, None, :] for j, k in enumerate(fields)}
+        )
 
     def cand(stk, b):
-        c = {k: stk[b, j, :, :][None, :, :] for j, k in enumerate(fields)}
-        if "afac" not in fields:
-            c["afac"] = c["val"]
-        return c
+        return derive(
+            {k: stk[b, j, :, :][None, :, :] for j, k in enumerate(fields)}
+        )
 
     return tgt, cand
 

@@ -404,4 +404,41 @@ def make_sharded_table_run(params: SimParams, mesh: Mesh, axis: str = "bots"):
         )
         return fn(state)
 
+    run_chunk.chunk_body = chunk_body  # reused by the dp x tp composition
+    return run_chunk, params
+
+
+def make_sharded_table_run_batched(
+    params: SimParams,
+    mesh: Mesh,
+    axis: str = "bots",
+    batch_axis: str = "data",
+):
+    """Composed dp x tp on the TABLE loop: a lockstep scene batch sharded
+    over ``batch_axis`` while each scene's table grid rows shard over
+    ``axis`` — the production formulation on a 2-D mesh.
+
+    ``run_chunk(batch_state, n_steps)`` takes a SimState pytree with a
+    leading scene axis (build it with parallel.sweep.make_batch_state on
+    the RESOLVED params this returns) whose length is a multiple of the
+    ``batch_axis`` size, and returns it advanced.  The per-scene chunk
+    body is vmapped over each data shard's local scenes inside one
+    ``shard_map`` over the full 2-D mesh; its interval/rebuild conds decay
+    to selects under vmap (both branches execute), trading the single
+    -scene loop's cond economics for scene throughput — the dp trade every
+    batched path in this package makes."""
+    run, params = make_sharded_table_run(params, mesh, axis=axis)
+    body = run.chunk_body
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def run_chunk(batch_state: SimState, n_steps: int) -> SimState:
+        fn = shard_map(
+            jax.vmap(functools.partial(body, n_steps=n_steps)),
+            mesh=mesh,
+            in_specs=(P(batch_axis),),
+            out_specs=P(batch_axis),
+            check_vma=False,
+        )
+        return fn(batch_state)
+
     return run_chunk, params

@@ -79,6 +79,14 @@ def run_sweep(
     if mesh is not None:
         state = shard_batch(state, mesh)
     run = make_run_chunk_batched(params)
+    from ..config import ForceBackend
+    from ..engine_table import gate_seg
+
+    seg = (
+        gate_seg(params.validate())
+        if params.validate().resolved_backend() == ForceBackend.PALLAS
+        else 0
+    )
 
     n = params.n_cells
     records = []
@@ -86,11 +94,11 @@ def run_sweep(
     def centroid(s: SimState):
         return jnp.mean(s.pos[:, :n, :], axis=1)
 
-    done = 0
+    done = 0  # scenes start at step 0 and advance in lockstep
     records.append(jax.device_get(centroid(state)))
     while done < n_steps:
         chunk = min(record_every, n_steps - done)
-        state = run(state, chunk)
+        state = run(state, chunk, seg > 0 and done % seg == 0)
         done += chunk
         records.append(jax.device_get(centroid(state)))
     return state, np.stack(records)

@@ -553,6 +553,10 @@ def make_run_chunk_table(params: SimParams):
     # -boundary cost (~7 us at 10k) is noise at these step times.
     total_rows = _geometry(params)[0]
     unroll_body = total_rows <= (1 << 20)
+    # small tables are dominated by fixed per-step costs (op dispatch, scan
+    # boundary): unroll the gateless inner scan to amortize them.  Larger
+    # tables gain nothing (measured at 10k) and only pay compile time.
+    scan_unroll = 4 if total_rows <= (1 << 13) else 1
 
     @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=0)
     def run_chunk(
@@ -595,7 +599,10 @@ def make_run_chunk_table(params: SimParams):
                     def ublock(ts, _):
                         return block_at(ts, False), None
 
-                    ts, _ = jax.lax.scan(ublock, ts, None, length=bps - 1)
+                    ts, _ = jax.lax.scan(
+                        ublock, ts, None, length=bps - 1,
+                        unroll=scan_unroll,
+                    )
                 return ts, None
 
             ts, _ = jax.lax.scan(seg_body, ts, None, length=n_segs)

@@ -16,6 +16,7 @@ storing every intermediate).
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -27,14 +28,61 @@ from ..engine import make_step
 from ..state import SimState, active_mask
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _guard_leaf(x, clip):
+    return x
+
+
+def _guard_fwd(x, clip):
+    return x, None
+
+
+def _guard_bwd(clip, _, ct):
+    ct = jnp.nan_to_num(ct)
+    if clip is not None:
+        ct = jnp.clip(ct, -clip, clip)
+    return (ct,)
+
+
+_guard_leaf.defvjp(_guard_fwd, _guard_bwd)
+
+
+def _grad_guard(state: SimState, clip: float | None) -> SimState:
+    """Identity forward; backward sanitizes cotangents.
+
+    Two pathologies of backprop through the contact dynamics:
+
+    * NaN: the stick-slip law normalizes by |v| and its kinetic branch
+      zeroes velocities EXACTLY, so stuck bots (|v| == 0, common by
+      design) make the unselected ``v / |v|`` branch NaN — forward
+      ``where`` masks it, but the chain rule's 0 * NaN poisons the
+      backward pass (measured: an unguarded 1500-step rollout gradient
+      is all-NaN).  Zeroing is the correct subgradient at the stick kink.
+    * Explosion: the DEM spring (k=1000 at dt=0.01) makes per-step
+      Jacobians expansive along contact modes, so long-horizon cotangents
+      overflow float32 (measured: 3.4e38 by 1500 steps).  ``clip`` bounds
+      them per step — standard BPTT clipping; biased but usable.
+
+    Applied once per step so a pathology born in step k cannot
+    contaminate steps k-1..0."""
+    return jax.tree.map(
+        lambda x: _guard_leaf(x, clip)
+        if jnp.issubdtype(x.dtype, jnp.inexact)
+        else x,
+        state,
+    )
+
+
 def make_phase_rollout(
-    params: SimParams, n_steps: int
+    params: SimParams, n_steps: int, ct_clip: float | None = 1.0e4
 ) -> Callable[[jax.Array, SimState], jax.Array]:
     """Returns ``rollout(phase0, state0) -> final centroid x`` (jittable,
     differentiable in ``phase0``).
 
     The phase controller is frozen (no light-law updates, no noise) so the
-    optimized offsets are the only actuation schedule.
+    optimized offsets are the only actuation schedule.  ``ct_clip`` bounds
+    per-step cotangents in the backward pass (see _grad_guard); None
+    disables clipping (NaN sanitization always applies).
     """
     from ..config import Control
 
@@ -53,7 +101,7 @@ def make_phase_rollout(
         state = state0._replace(phase=phase0)
 
         def body(s, _):
-            return step(s), None
+            return _grad_guard(step(s), ct_clip), None
 
         final, _ = jax.lax.scan(body, state, None, length=n_steps)
         mask = active_mask(params, final.pos.shape[0])
@@ -73,6 +121,7 @@ def optimize_phases(
     lr: float = 0.5,
     minimize: bool = True,
     phase0: jax.Array | None = None,
+    ct_clip: float | None = 1.0e4,
 ):
     """Gradient-descend per-bot phase offsets to drive the swarm centroid
     (minimize=True pushes it toward -x, i.e. the usual light direction).
@@ -80,7 +129,7 @@ def optimize_phases(
     Returns (optimized phases, per-iteration objective history).
     Uses optax Adam when available, plain SGD otherwise.
     """
-    rollout = make_phase_rollout(params, n_steps)
+    rollout = make_phase_rollout(params, n_steps, ct_clip=ct_clip)
     sign = 1.0 if minimize else -1.0
 
     def loss(ph):
@@ -111,9 +160,18 @@ def optimize_phases(
             return ph - lr * g, opt_state
 
     history = []
+    best_v, best_ph = float("inf"), ph
     for _ in range(iters):
         v, g = value_and_grad(ph)
-        history.append(float(v))
+        v = float(v)
+        history.append(v)
+        if v < best_v:
+            best_v, best_ph = v, ph
         ph, opt_state = apply(ph, opt_state, g)
-    history.append(float(jax.jit(loss)(ph)))
-    return np.asarray(ph), np.asarray(history)
+    final_v = float(jax.jit(loss)(ph))
+    history.append(final_v)
+    if final_v < best_v:
+        best_v, best_ph = final_v, ph
+    # the objective is non-convex and the late iterates can overshoot:
+    # return the best evaluated point, not the last
+    return np.asarray(best_ph), np.asarray(history)

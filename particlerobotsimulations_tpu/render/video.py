@@ -23,8 +23,10 @@ class VideoRecorder:
         self,
         params: SimParams,
         path: str | None = None,
-        width: int = 960,
-        height: int = 540,
+        # reference default geometry: 1920x1080 @ 20 FPS (main.cpp:65,
+        # postprocess.cu:102)
+        width: int = 1920,
+        height: int = 1080,
         fps: int = 20,
         codec: str = "MJPG",
         quality: int = 90,

@@ -67,3 +67,35 @@ def test_optimization_improves_objective():
     ph, hist = optimize_phases(p, state, n_steps=150, iters=8, lr=0.3)
     # minimizing centroid x: the final objective must beat the first
     assert hist[-1] < hist[0] - 1e-5, f"no improvement: {hist[0]} -> {hist[-1]}"
+
+
+def test_grad_guard_prevents_nan_and_overflow():
+    """Regression for the round-4 gradient pathologies: unguarded BPTT is
+    all-NaN once bots stick (|v| == 0 exactly -> v/|v| NaN poisons the
+    chain through where's 0*NaN) and, NaN-guarded only, cotangents
+    overflow float32 over long horizons.  The per-step _grad_guard with
+    clipping must yield finite, bounded, nonzero gradients on a horizon
+    long enough for bots to stick (static friction floors these tiny
+    scenes quickly)."""
+    p, state = setup(n=24)
+    rollout = make_phase_rollout(p, n_steps=300, ct_clip=1.0e4)
+    n_pad = state.pos.shape[0]
+    phase0 = 0.1 * jax.random.normal(jax.random.key(1), (n_pad,))
+    g = np.asarray(jax.grad(rollout)(phase0, state))[: p.n_cells]
+    assert np.isfinite(g).all(), "guarded gradient still NaN/inf"
+    assert np.abs(g).max() > 0.0, "guarded gradient identically zero"
+    # clipped per step, the total can still compound but must stay far
+    # from float32 overflow (unguarded runs measured 3.4e38)
+    assert np.abs(g).max() < 1e12
+
+
+def test_optimize_phases_returns_best_iterate():
+    """The optimizer must return the best evaluated point, not the last
+    (the non-convex objective overshoots late in a run)."""
+    p, state = setup(n=24)
+    ph, hist = optimize_phases(
+        p, state, n_steps=60, iters=4, lr=0.5, minimize=True
+    )
+    rollout = jax.jit(make_phase_rollout(p, n_steps=60))
+    v = float(rollout(jax.numpy.asarray(ph), state))
+    assert v <= min(hist) + 1e-6

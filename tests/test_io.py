@@ -141,3 +141,34 @@ def test_checkpoint_roundtrip(tmp_path):
     sim.step_chunk(50)
     sim_resumed.step_chunk(50)
     np.testing.assert_array_equal(sim.host_view()[0], sim_resumed.host_view()[0])
+
+
+def test_checkpoint_resume_misaligned_table_run(tmp_path):
+    """Resuming the PALLAS table loop at a step that is NOT a gate-segment
+    multiple must route run() through the legacy per-step-cond path (the
+    seg_aligned fast path asserts alignment) and continue identically to
+    an uninterrupted run."""
+    from particlerobotsimulations_tpu import Config, ForceBackend
+    from particlerobotsimulations_tpu.engine_table import gate_seg
+
+    p = small_params(
+        n_cells=96, config=Config.HEX, force_backend=ForceBackend.PALLAS,
+        phase_std=0.0, max_time=2.0, dump_interval=1.0,
+        # short intervals -> seg = 4 (gcd of 8 and 12)
+        centroid_int=0.08, phase_update_interval=0.12,
+    )
+    assert gate_seg(p.validate()) == 4
+    sim = Simulation(p)
+    sim.step_chunk(7, start_step=0)  # lands on step 7: NOT a multiple of 4
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, p, sim.state)
+
+    p2, state2 = load_checkpoint(path)
+    resumed = Simulation(p2, state=state2)
+    # both the misaligned (start 7) and later re-aligned chunks execute
+    resumed.step_chunk(5, start_step=7)    # misaligned -> legacy path
+    resumed.step_chunk(8, start_step=12)   # aligned -> fast path
+    sim.step_chunk(5, start_step=7)
+    sim.step_chunk(8, start_step=12)
+    np.testing.assert_array_equal(sim.host_view()[0], resumed.host_view()[0])
+    assert int(resumed.state.step) == 20

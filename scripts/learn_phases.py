@@ -101,7 +101,8 @@ def main():
           f"no improvement vs frozen hand ({dx_learn:+.5f} vs {dx_frozen:+.5f})")
 
     os.makedirs("artifacts", exist_ok=True)
-    with open("artifacts/learn_phases.json", "w") as f:
+    out_path = f"artifacts/learn_phases_{N}.json"
+    with open(out_path, "w") as f:
         json.dump(
             {
                 "n_bots": N, "eval_steps": STEPS, "iters": ITERS,
@@ -113,7 +114,7 @@ def main():
             },
             f, indent=1,
         )
-    print("wrote artifacts/learn_phases.json")
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

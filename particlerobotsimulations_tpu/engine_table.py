@@ -539,6 +539,45 @@ def make_run_chunk_table(params: SimParams):
     k = max(1, params.slot_rebuild_steps)
     seg = gate_seg(params)
 
+    # small-table megakernel: whole ungated k-step blocks as ONE pallas
+    # call (ops/megakernel.py) — removes the ~30-tiny-op dispatch floor
+    # that dominates the step below ~4k bots.  Only the seg loop's
+    # ungated blocks use it; gated steps and fallback redos stay here.
+    from .ops.megakernel import mega_eligible
+
+    use_mega = mega_eligible(params)
+    if use_mega:
+        from .ops.megakernel import make_mega_block
+
+        total_m, _, n_pad_m = _geometry(params)
+        g_m = params.resolved_grid_dim()
+        cap_m = params.storage_capacity()
+        s_sub = n_pad_m // 128
+        mega = make_mega_block(params, n_pad_m)
+
+        def mega_pack(fields):
+            tbl = jnp.stack(
+                [
+                    fields[kf][:total_m].reshape(cap_m, g_m * g_m)
+                    for kf in TABLE_FIELDS
+                ]
+            )
+            strip = jnp.stack(
+                [
+                    fields[kf][total_m:].reshape(s_sub, 128)
+                    for kf in TABLE_FIELDS
+                ]
+            )
+            return tbl, strip
+
+        def mega_unpack(tbl, strip):
+            return {
+                kf: jnp.concatenate(
+                    [tbl[j].reshape(total_m), strip[j].reshape(n_pad_m)]
+                )
+                for j, kf in enumerate(TABLE_FIELDS)
+            }
+
     # blocks of k steps whose LAST step rebuilds statically (no traced
     # rebuild cond in the scan body — see the note in make_table_step).
     # The schedule is chunk-relative: chunk entry re-anchors + reassigns
@@ -593,16 +632,62 @@ def make_run_chunk_table(params: SimParams):
         if n_segs:
             bps = seg // k
 
+            def mega_ublock(carry, _):
+                """One ungated k-step block through the megakernel; on a
+                rebuild-precondition failure (ok == 0) the block is redone
+                on the regular path, whose exact argsort fallback
+                re-anchors the grid (the megakernel never moves origin)."""
+                tbl, strip, origin, stp = carry
+                t2, s2, okf = mega(tbl, strip, origin, stp)
+
+                def good(c):
+                    del c
+                    return t2, s2, origin, stp + k
+
+                def redo(c):
+                    tbl_r, strip_r, origin_r, stp_r = c
+                    # ungated blocks consume no RNG and never touch the
+                    # centroid ring — placeholders are sound here
+                    ts_r = TableState(
+                        fields=mega_unpack(tbl_r, strip_r),
+                        origin=origin_r,
+                        step=stp_r,
+                        key=jax.random.PRNGKey(0),
+                        centroid_ring=jnp.zeros(
+                            (params.centroid_steps, 2), jnp.float32
+                        ),
+                    )
+                    ts_r = block_at(ts_r, False)
+                    tb, sb = mega_pack(ts_r.fields)
+                    return tb, sb, ts_r.origin, ts_r.step
+
+                carry = jax.lax.cond(okf > 0.5, good, redo, carry)
+                return carry, None
+
             def seg_body(ts: TableState, _):
                 ts = block_at(ts, True)
                 if bps > 1:
-                    def ublock(ts, _):
-                        return block_at(ts, False), None
+                    if use_mega:
+                        tbl, strip = mega_pack(ts.fields)
+                        (tbl, strip, origin2, stp2), _ = jax.lax.scan(
+                            mega_ublock,
+                            (tbl, strip, ts.origin, ts.step),
+                            None,
+                            length=bps - 1,
+                        )
+                        ts = ts._replace(
+                            fields=mega_unpack(tbl, strip),
+                            origin=origin2,
+                            step=stp2,
+                        )
+                    else:
+                        def ublock(ts, _):
+                            return block_at(ts, False), None
 
-                    ts, _ = jax.lax.scan(
-                        ublock, ts, None, length=bps - 1,
-                        unroll=scan_unroll,
-                    )
+                        ts, _ = jax.lax.scan(
+                            ublock, ts, None, length=bps - 1,
+                            unroll=scan_unroll,
+                        )
                 return ts, None
 
             ts, _ = jax.lax.scan(seg_body, ts, None, length=n_segs)

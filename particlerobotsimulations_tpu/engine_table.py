@@ -539,21 +539,24 @@ def make_run_chunk_table(params: SimParams):
     k = max(1, params.slot_rebuild_steps)
     seg = gate_seg(params)
 
-    # small-table megakernel: whole ungated k-step blocks as ONE pallas
-    # call (ops/megakernel.py) — removes the ~30-tiny-op dispatch floor
-    # that dominates the step below ~4k bots.  Only the seg loop's
-    # ungated blocks use it; gated steps and fallback redos stay here.
+    # small-table megakernel: whole ungated rebuild-to-rebuild spans as
+    # ONE pallas call (ops/megakernel.py) — removes the ~30-tiny-op
+    # dispatch floor that dominates the step below ~4k bots.  Only the
+    # seg loop's ungated blocks use it; gated steps stay here, and the
+    # slot rebuild runs BETWEEN spans on the regular _smart_rebuild path
+    # (the spans are phase-shifted around it — see the module docstring).
     from .ops.megakernel import mega_eligible
 
     use_mega = mega_eligible(params)
     if use_mega:
-        from .ops.megakernel import make_mega_block
+        from .ops.megakernel import make_mega_span
 
         total_m, _, n_pad_m = _geometry(params)
         g_m = params.resolved_grid_dim()
         cap_m = params.storage_capacity()
         s_sub = n_pad_m // 128
-        mega = make_mega_block(params, n_pad_m)
+        mega = make_mega_span(params, n_pad_m)
+        step_pre_m, step_post_m = make_table_step_parts(params)
 
         def mega_pack(fields):
             tbl = jnp.stack(
@@ -632,62 +635,75 @@ def make_run_chunk_table(params: SimParams):
         if n_segs:
             bps = seg // k
 
-            def mega_ublock(carry, _):
-                """One ungated k-step block through the megakernel; on a
-                rebuild-precondition failure (ok == 0) the block is redone
-                on the regular path, whose exact argsort fallback
-                re-anchors the grid (the megakernel never moves origin)."""
+            def mega_span_block(carry, _):
+                """One ungated span through the megakernel — post of the
+                previous block's last step (whose rebuild the caller just
+                performed), k-1 full steps, pre of this block's last
+                step — then the regular slot rebuild (incremental
+                compaction with its exact-argsort fallback, which may
+                re-anchor origin) slotted between the span's final pre
+                and the next span's head post, exactly where the regular
+                path performs it."""
                 tbl, strip, origin, stp = carry
-                t2, s2, okf = mega(tbl, strip, origin, stp)
+                t2, s2 = mega(tbl, strip, stp)
+                # ungated spans consume no RNG and never touch the
+                # centroid ring — placeholders are sound here
+                ts_r = TableState(
+                    fields=mega_unpack(t2, s2),
+                    origin=origin,
+                    step=stp + (k - 1),
+                    key=jax.random.PRNGKey(0),
+                    centroid_ring=jnp.zeros(
+                        (params.centroid_steps, 2), jnp.float32
+                    ),
+                )
+                ts_r = _smart_rebuild(params, ts_r)
+                tb, sb = mega_pack(ts_r.fields)
+                return (tb, sb, ts_r.origin, stp + k), None
 
-                def good(c):
-                    del c
-                    return t2, s2, origin, stp + k
-
-                def redo(c):
-                    tbl_r, strip_r, origin_r, stp_r = c
-                    # ungated blocks consume no RNG and never touch the
-                    # centroid ring — placeholders are sound here
-                    ts_r = TableState(
-                        fields=mega_unpack(tbl_r, strip_r),
-                        origin=origin_r,
-                        step=stp_r,
-                        key=jax.random.PRNGKey(0),
-                        centroid_ring=jnp.zeros(
-                            (params.centroid_steps, 2), jnp.float32
-                        ),
-                    )
-                    ts_r = block_at(ts_r, False)
-                    tb, sb = mega_pack(ts_r.fields)
-                    return tb, sb, ts_r.origin, ts_r.step
-
-                carry = jax.lax.cond(okf > 0.5, good, redo, carry)
-                return carry, None
+            def mega_prefix(ts: TableState) -> TableState:
+                """The segment's gated k-step block MINUS its final post,
+                ending after pre + rebuild of step s+k-1: the post of
+                that (ungated) step is carried by the first span's head,
+                which keeps the kernel loop body unpredicated."""
+                for j in range(k - 1):
+                    ts = step_at(ts, False, gated=(j == 0))
+                g_pre = (
+                    _gates(params, ts.step)
+                    if k == 1
+                    else (False, False, False)
+                )
+                ts = step_pre_m(ts, *g_pre)
+                return _smart_rebuild(params, ts)
 
             def seg_body(ts: TableState, _):
+                if bps > 1 and use_mega:
+                    ts = mega_prefix(ts)
+                    tbl, strip = mega_pack(ts.fields)
+                    (tbl, strip, origin2, stp2), _ = jax.lax.scan(
+                        mega_span_block,
+                        (tbl, strip, ts.origin, ts.step + 1),
+                        None,
+                        length=bps - 1,
+                    )
+                    # the spans are phase-shifted: the last one ended
+                    # mid-step stp2 - 1 (after pre + rebuild); its post
+                    # runs on the regular path, completing the segment
+                    ts = ts._replace(
+                        fields=mega_unpack(tbl, strip),
+                        origin=origin2,
+                        step=stp2 - 1,
+                    )
+                    return step_post_m(ts), None
                 ts = block_at(ts, True)
                 if bps > 1:
-                    if use_mega:
-                        tbl, strip = mega_pack(ts.fields)
-                        (tbl, strip, origin2, stp2), _ = jax.lax.scan(
-                            mega_ublock,
-                            (tbl, strip, ts.origin, ts.step),
-                            None,
-                            length=bps - 1,
-                        )
-                        ts = ts._replace(
-                            fields=mega_unpack(tbl, strip),
-                            origin=origin2,
-                            step=stp2,
-                        )
-                    else:
-                        def ublock(ts, _):
-                            return block_at(ts, False), None
+                    def ublock(ts, _):
+                        return block_at(ts, False), None
 
-                        ts, _ = jax.lax.scan(
-                            ublock, ts, None, length=bps - 1,
-                            unroll=scan_unroll,
-                        )
+                    ts, _ = jax.lax.scan(
+                        ublock, ts, None, length=bps - 1,
+                        unroll=scan_unroll,
+                    )
                 return ts, None
 
             ts, _ = jax.lax.scan(seg_body, ts, None, length=n_segs)

@@ -1,47 +1,62 @@
-"""Small-table megakernel: a whole k-step rebuild block in ONE Pallas call.
+"""Small-table megakernel: the ungated span between two slot rebuilds in
+ONE Pallas call.
 
 At 10k+ bots the table-resident step is compute-bound (the pair kernel is
 ~2/3 of the step), but at reference-default scales (501-2000 bots,
-/root/reference/main.cpp:872,883) the step is dominated by the fixed cost of
-dispatching ~30 tiny XLA ops per step — the pair math at 1k bots is ~18M
-f32 ops (~9 us of VPU) inside a 19.3 us step.  This module removes that
-floor for tables small enough to live entirely in VMEM: one `pallas_call`
-runs a full ``slot_rebuild_steps``-step block — radius controller,
-integrate + boundary, the incremental slot rebuild (rank-and-place, same
-formulation as ops/table_rebuild.py), the 5-block Newton pair stencil
-(same formulation as ops/pallas_stencil.py, with the preshift/realign as
+/root/reference/main.cpp:872,883) the step is dominated by the fixed cost
+of dispatching ~30 tiny XLA ops per step — the pair math at 1k bots is
+~18M f32 ops (~9 us of VPU) inside a 19.3 us step.  This module removes
+that floor for tables small enough to live entirely in VMEM: one
+``pallas_call`` runs the whole ungated span between two rebuilds — radius
+controller, integrate + boundary, the 5-block Newton pair stencil (same
+formulation as ops/pallas_stencil.py, with the preshift/realign as
 in-kernel lane rolls), obstacle forces and stick-slip friction — with the
-field planes held in registers/VMEM throughout.
+field planes held in VMEM throughout.
+
+Phase-shifted span decomposition: the canonical k-step rebuild block is
+``pre(b), post(b), ..., pre(b+k-1), REBUILD, post(b+k-1)`` (reference op
+order /root/reference/particlebot.cpp:170-300 — the rebuild sits between
+integrate and collide).  Rather than performing the rebuild in-kernel
+(a 9-offset rank-and-place inside the kernel measured ~45 us/rebuild of
+pure Mosaic scheduling loss — any kernel containing the nine blocks ran
+every step ~5x slower regardless of gating, rolls, or MXU use), the span
+is cut AROUND the rebuild::
+
+    span(b) = post(b-1), pre(b), post(b), ..., post(b+k-2), pre(b+k-1)
+
+so the caller (engine_table.make_run_chunk_table) chains
+``span -> _smart_rebuild -> span -> _smart_rebuild -> ...`` and the slot
+rebuild between spans is the regular path's own compaction kernel
+(ops/table_rebuild.py) with its exact-argsort fallback — bit-identical
+rebuild semantics, no redo machinery.  Every span carries its head
+``post(b-1)`` unconditionally: the caller's gated entry block ends after
+``pre + rebuild`` (its final post belongs to an ungated step, so handing
+it to the first span is semantics-preserving), which keeps the kernel
+loop body a bare ``[post; pre]`` pair — a ``pl.when``-predicated head
+post was measured at 44 us/step (4x): Mosaic predication of a large
+region poisons the schedule of every iteration, the same disease as the
+in-kernel rebuild.
 
 Scope and semantics:
 
-* Only UNGATED blocks (no dead injection / centroid / phase steps) run in
+* Only UNGATED steps (no dead injection / centroid / phase steps) run in
   the megakernel — the segment-gated chunk loop (engine_table.gate_seg)
   already guarantees interval gates can only fire on the first step of a
   segment, which stays on the regular path.  Ungated steps consume no RNG
-  and never touch the centroid ring, so the megakernel carry is just
-  (table planes, parking-strip planes, origin, step).
-* The in-kernel rebuild reports the same ``ok`` preconditions as
-  ops/table_rebuild.incremental_rebuild (>1-cell move, cell overflow,
-  occupied wrapped edge columns).  On failure the caller discards the
-  whole block and re-runs it through the regular step path (whose exact
-  argsort fallback re-anchors the grid) — rebuild failures are rare
-  (edge-guard drift, compression overflow), so the redo cost is noise.
+  and never touch the centroid ring, so the span carry is just
+  (table planes, parking-strip planes, step).
 * Eligibility (``mega_eligible``): PALLAS backend, no overflow spill
   sublanes, and a table of at most 2**14 rows (G in {16, 32} at the
   default capacity 16) so state + pair temporaries fit VMEM.
 
-Physics is the same op order as engine_table.make_table_step (reference
-/root/reference/particlebot.cpp:170-300): radius, integrate, [rebuild],
-collide, friction.  Mosaic's fusion choices may differ from XLA's by 1 ulp
-on identical float32 expressions, so cross-path comparisons are tolerance
--based, like every other kernel pair in this package (the golden fixtures
-pin the DENSE backend only).
+Mosaic's fusion choices may differ from XLA's by 1 ulp on identical
+float32 expressions, so cross-path comparisons are tolerance-based, like
+every other kernel pair in this package (the golden fixtures pin the
+DENSE backend only).
 """
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax
@@ -56,23 +71,20 @@ from .forces import (
     obstacle_forces_xy,
 )
 from .pallas_stencil import OFFSETS, _kernel_fields, _pair_block
-from .table_rebuild import OFFSETS9, _FAR
 
 # row budget: G=32 at capacity 16.  State planes (13 x 16 x 1024 f32
-# = 832 KB) + 5 pre-rolled candidate blocks + (C, C, G*G) pair
+# = 832 KB) + 5 pre-rolled candidate blocks + (C_t, C_c, L) pair
 # temporaries stay well under the ~16 MB VMEM budget.
 MAX_ROWS = 1 << 14
+
 
 def mega_eligible(params: SimParams) -> bool:
     """Whether the table-resident chunk loop may use the megakernel."""
     from ..config import ForceBackend
 
-    # EXPERIMENTAL, opt-in via PBOT_MEGA=1 (read per call so tests can
-    # toggle it around make_run_chunk_table).  First TPU measurement at 1k
-    # bots: 55.5 us/step vs 19.2 regular — the fused form is currently
-    # LOSING to the XLA-glued path (suspected scoped-VMEM pressure from
-    # the unrolled k-step body and in-kernel roll cost); kept off by
-    # default until it wins.
+    # EXPERIMENTAL, opt-in via PBOT_MEGA=1 until the TPU measurement of
+    # the span form lands (read per call so tests can toggle it around
+    # make_run_chunk_table)
     if os.environ.get("PBOT_MEGA", "0") != "1":
         return False
     p = params
@@ -99,13 +111,12 @@ def _roll(x: jax.Array, shift: int, interpret: bool) -> jax.Array:
     return pltpu.roll(x, s, axis=x.ndim - 1)
 
 
-def _make_kernel(params: SimParams, n_pad: int, interpret: bool):
+def _make_kernel(params: SimParams, interpret: bool):
     """Kernel body over full-table VMEM blocks.
 
-    refs: scalars (1, 128) f32 [origin_x, origin_y, step], tbl
-    (N_TF, C, gg), strip (N_TF, S, 128) -> tbl', strip', ok (1, 128) f32,
-    with rebuild scratch (n_move, C, gg) + (1, gg)."""
-    from ..engine_table import MOVE_FIELDS, TABLE_FIELDS
+    refs: scalars (1, 128) f32 [step0, head], tbl (N_TF, C, gg),
+    strip (N_TF, S, 128) -> tbl', strip'."""
+    from ..engine_table import TABLE_FIELDS
 
     p = params
     g, cap = p.resolved_grid_dim(), p.cell_capacity
@@ -113,13 +124,9 @@ def _make_kernel(params: SimParams, n_pad: int, interpret: bool):
     k_steps = max(1, p.slot_rebuild_steps)
     dt = p.timestep
     f32 = jnp.float32
-    i32 = jnp.int32
     # NOTE: keep build-time values as python floats — jnp.float32() makes a
     # jax Array here, which the kernel would capture as an illegal constant
-    h = float(p.cutoff())
     kfields = _kernel_fields(p)
-    idx = {k: j for j, k in enumerate(TABLE_FIELDS)}
-    n_move = len(MOVE_FIELDS)
     has_obstacles = bool(p.circle_obstacles or p.rect_obstacles)
 
     def integrate_xy(d):
@@ -207,134 +214,66 @@ def _make_kernel(params: SimParams, n_pad: int, interpret: bool):
             e["vy"] = jnp.where(val, nvy, 0.0)
         return d, s
 
-    def rebuild(d, ox, oy, reb_acc, reb_cnt):
-        """In-kernel incremental rank-and-place rebuild; returns
-        (new fields, ok).  Same preconditions and offset order as
-        ops/table_rebuild.incremental_rebuild — bit-identical placement
-        when ok (skipped mover offsets match nothing)."""
-        val = d["val"] > 0.5
-        ixt = jnp.floor((d["px"] - ox) / f32(h)).astype(i32) % g
-        iyt = jnp.floor((d["py"] - oy) / f32(h)).astype(i32) % g
-        lane = jax.lax.broadcasted_iota(i32, (cap, gg), 1)
-        ixc = lane % g
-        iyc = lane // g
+    def kernel(sc_ref, tbl_ref, strip_ref, tbl_out, strip_out):
+        # state lives in the OUTPUT refs (used as in-place scratch) and the
+        # loop is a fori_loop with ONE bare (post, pre) pair compiled in
+        # the body — a python-unrolled k-step body was 4x the Mosaic
+        # program and scheduled ~3x slower (scoped-VMEM pressure), and ANY
+        # predication of a large region (pl.when on the head post or on an
+        # in-kernel rebuild) poisons the schedule of every iteration
+        # (measured 4-5x).  Iteration j runs post(step0 + j - 1) then
+        # pre(step0 + j): over j = 0..k-1 that is exactly the span
+        # post(b-1) full(b..b+k-2) pre(b+k-1).
+        step0 = sc_ref[0, 0]
+        tbl_out[...] = tbl_ref[...]
+        strip_out[...] = strip_ref[...]
 
-        def wrapc(x):
-            return ((x + g // 2) % g) - g // 2
+        def read(ref):
+            return {kf: ref[j] for j, kf in enumerate(TABLE_FIELDS)}
 
-        dx = wrapc(ixt - ixc)
-        dy = wrapc(iyt - iyc)
-        moved_far = jnp.any(val & ((jnp.abs(dx) > 1) | (jnp.abs(dy) > 1)))
-        edge = jnp.any(
-            val & ((ixc == 0) | (ixc == g - 1) | (ixt == 0) | (ixt == g - 1))
-        )
-        dxf = jnp.where(val, dx.astype(f32), f32(_FAR))
-        dyf = jnp.where(val, dy.astype(f32), f32(_FAR))
+        def write(ref, e):
+            for j, kf in enumerate(TABLE_FIELDS):
+                ref[j] = e[kf]
 
-        row = jax.lax.broadcasted_iota(i32, (cap, cap), 0)
-        col = jax.lax.broadcasted_iota(i32, (cap, cap), 1)
-        tri = (col < row).astype(f32)  # strictly lower
-        c2 = jax.lax.broadcasted_iota(i32, (1, cap, 1), 1).astype(f32)
+        def body(j, carry):
+            d, s = post(read(tbl_out), read(strip_out))
+            write(tbl_out, d)
+            write(strip_out, s)
 
-        reb_acc[...] = jnp.zeros_like(reb_acc)
-        reb_cnt[...] = jnp.zeros_like(reb_cnt)
+            time = (step0 + j.astype(f32)) * f32(dt)
+            d = pre(read(tbl_out), time)
+            s = pre(read(strip_out), time)
+            write(tbl_out, d)
+            write(strip_out, s)
+            return carry
 
-        def block(bx, by):
-            sft = (-(by * g + bx)) % gg
-            m = jnp.logical_and(
-                _roll(dxf, sft, interpret) == f32(-bx),
-                _roll(dyf, sft, interpret) == f32(-by),
-            ).astype(f32)
-            pre_rank = jax.lax.dot_general(
-                tri, m,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
-            rank = pre_rank + reb_cnt[...]
-            place = (rank[:, None, :] == c2).astype(f32) * m[:, None, :]
-            for j, kf in enumerate(MOVE_FIELDS):
-                cand = _roll(d[kf], sft, interpret)
-                reb_acc[j, :, :] += jnp.sum(
-                    place * cand[:, None, :], axis=0
-                )
-            reb_cnt[...] += jnp.sum(m, axis=0, keepdims=True)
-
-        block(0, 0)
-        for bx, by in OFFSETS9[1:]:
-            movers = jnp.sum(
-                (val & (dx == -bx) & (dy == -by)).astype(i32)
-            )
-
-            @pl.when(movers > 0)
-            def _(bx=bx, by=by):
-                block(bx, by)
-
-        overflow = jnp.any(reb_cnt[...] > f32(cap))
-        ok = ~(moved_far | overflow | edge)
-
-        nd = dict(d)
-        for j, kf in enumerate(MOVE_FIELDS):
-            nd[kf] = reb_acc[j, :, :]
-        return nd, ok
-
-    def derived_rows(e):
-        """Re-derive the bid-dependent static planes after a rebuild
-        (engine_table._derived_rows — which the regular path applies to
-        the WHOLE flat array, parking strip included)."""
-        nval = e["val"] > 0.5
-        if p.has_payload:
-            is_pay = nval & (e["bid"].astype(i32) == p.n_cells - 1)
-            e["pay"] = is_pay.astype(f32)
-            e["afac"] = jnp.where(
-                is_pay, f32(p.attraction_factor), f32(1.0)
-            ) * nval.astype(f32)
-        else:
-            e["pay"] = jnp.zeros_like(e["bid"])
-            e["afac"] = nval.astype(f32)
-        return e
-
-    def kernel(sc_ref, tbl_ref, strip_ref, tbl_out, strip_out, ok_out,
-               reb_acc, reb_cnt):
-        d = {kf: tbl_ref[j] for j, kf in enumerate(TABLE_FIELDS)}
-        s = {kf: strip_ref[j] for j, kf in enumerate(TABLE_FIELDS)}
-        ox, oy = sc_ref[0, 0], sc_ref[0, 1]
-        step0 = sc_ref[0, 2]
-        ok = jnp.bool_(True)
-        for j in range(k_steps):
-            time = (step0 + f32(j)) * f32(dt)
-            d = pre(d, time)
-            s = pre(s, time)
-            if j == k_steps - 1:
-                d, ok = rebuild(d, ox, oy, reb_acc, reb_cnt)
-                d = derived_rows(d)
-                s = derived_rows(s)
-            d, s = post(d, s)
-        for j, kf in enumerate(TABLE_FIELDS):
-            tbl_out[j] = d[kf]
-            strip_out[j] = s[kf]
-        ok_out[...] = jnp.full((1, 128), 0.0, f32) + ok.astype(f32)
+        jax.lax.fori_loop(0, k_steps, body, 0)
 
     return kernel
 
 
-def make_mega_block(params: SimParams, n_pad: int):
-    """Returns ``block(tbl, strip, origin, step) -> (tbl', strip', ok)``.
+def make_mega_span(params: SimParams, n_pad: int):
+    """Returns ``span(tbl, strip, step) -> (tbl', strip')``.
 
     tbl: (N_TF, C, G*G) f32 table planes; strip: (N_TF, n_pad//128, 128)
-    parking-strip planes; origin: (2,) f32; step: () int32 (entry step of
-    the block).  ``ok`` is a f32 scalar — 0.0 means the in-kernel rebuild's
-    preconditions failed and the caller must discard the outputs and redo
-    the block on the regular path."""
+    parking-strip planes; step: () int32 — the first step of the k-step
+    rebuild block this span belongs to.  The input state must be
+    MID-STEP ``step - 1`` (after integrate + rebuild): the span opens
+    with the carried-over ``post(step - 1)`` of the previous block, runs
+    k-1 full steps, and ends mid-step ``step + k - 1`` after integrate —
+    the caller must run the slot rebuild (engine_table._smart_rebuild)
+    and then either the next span or, at the segment end, the regular
+    path's ``step_post``."""
     from ..engine_table import TABLE_FIELDS
 
     p = params.validate()
-    g, cap = p.resolved_grid_dim(), p.cell_capacity
+    g = p.resolved_grid_dim()
+    cap = p.cell_capacity
     gg = g * g
     n_tf = len(TABLE_FIELDS)
-    n_move = 9
     s_sub = n_pad // 128
     interpret = jax.default_backend() == "cpu"
-    kernel = _make_kernel(p, n_pad, interpret)
+    kernel = _make_kernel(p, interpret)
 
     call = pl.pallas_call(
         kernel,
@@ -346,29 +285,21 @@ def make_mega_block(params: SimParams, n_pad: int):
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_tf, cap, gg), jnp.float32),
             jax.ShapeDtypeStruct((n_tf, s_sub, 128), jnp.float32),
-            jax.ShapeDtypeStruct((1, 128), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((n_move, cap, gg), jnp.float32),
-            pltpu.VMEM((1, gg), jnp.float32),
         ],
         interpret=interpret,
     )
 
-    def block(tbl, strip, origin, step):
+    def span(tbl, strip, step):
         sc = jnp.concatenate(
             [
-                origin.astype(jnp.float32),
                 step.astype(jnp.float32)[None],
-                jnp.zeros((125,), jnp.float32),
+                jnp.zeros((127,), jnp.float32),
             ]
         ).reshape(1, 128)
-        tbl2, strip2, okp = call(sc, tbl, strip)
-        return tbl2, strip2, okp[0, 0]
+        return call(sc, tbl, strip)
 
-    return block
+    return span

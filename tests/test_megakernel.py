@@ -1,11 +1,13 @@
 """Small-table megakernel (ops/megakernel.py) vs the regular table loop.
 
-The megakernel runs whole ungated k-step blocks as one Pallas call.  Its
-math is the same float32 expressions as the regular path, but Mosaic (and
-the different accumulation order of the Newton reactions) shifts roundings
-by ~1 ulp, so comparisons are tolerance-based on jittered starts — the
-same policy as every other cross-kernel test in this package (CLAUDE.md:
-never assert bitwise across kernels on HEX step 0).
+The megakernel runs the whole ungated span between two slot rebuilds as
+one Pallas call (the rebuild itself runs between spans on the regular
+_smart_rebuild path).  Its math is the same float32 expressions as the
+regular path, but Mosaic (and the different accumulation order of the
+Newton reactions) shifts roundings by ~1 ulp, so comparisons are
+tolerance-based on jittered starts — the same policy as every other
+cross-kernel test in this package (CLAUDE.md: never assert bitwise across
+kernels on HEX step 0).
 """
 
 import os
@@ -21,10 +23,10 @@ from particlerobotsimulations_tpu.engine_table import (
     _geometry,
     enter_table,
     make_run_chunk_table,
-    make_table_step,
+    make_table_step_parts,
 )
 from particlerobotsimulations_tpu.ops.megakernel import (
-    make_mega_block,
+    make_mega_span,
     mega_eligible,
 )
 
@@ -75,25 +77,8 @@ def test_eligibility():
     assert not mega_eligible(params_().validate())
 
 
-def test_mega_block_matches_regular_block():
-    """One megakernel call == k regular ungated steps (static rebuild on
-    the last), to float32 tolerance."""
-    p = params_().validate()
-    st = jitter(Simulation(p).state)
-    ts = enter_table(p, st)
-    k = max(1, p.slot_rebuild_steps)
-    step = make_table_step(p)
-
-    ts_ref = ts
-    for j in range(k):
-        ts_ref = step(ts_ref, False, False, False, j == k - 1)
-
+def _assert_fields_close(p, ts_ref, tbl2, strip2, atol):
     total, _, n_pad = _geometry(p)
-    tbl, strip = _mega_views(p, ts)
-    mega = make_mega_block(p, n_pad)
-    tbl2, strip2, ok = jax.jit(mega)(tbl, strip, ts.origin, ts.step)
-    assert float(ok) == 1.0
-
     for j, f in enumerate(TABLE_FIELDS):
         ref = np.asarray(ts_ref.fields[f])
         got = np.concatenate(
@@ -104,7 +89,29 @@ def test_mega_block_matches_regular_block():
         )
         # aa/ar are sums of ~1e3-magnitude forces: reassociation of the
         # Newton-reaction accumulation order costs a few 1e-5 relative
-        np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4, err_msg=f)
+        np.testing.assert_allclose(got, ref, atol=atol, rtol=atol, err_msg=f)
+
+
+def test_mega_span_matches_regular_parts():
+    """span(b) from a mid-step b-1 state == carried-over post(b-1) + (k-1)
+    full steps + a final pre(b+k-1), to float32 tolerance (no rebuild
+    anywhere — that runs between spans on the regular path)."""
+    p = params_().validate()
+    ts = enter_table(p, jitter(Simulation(p).state))
+    k = max(1, p.slot_rebuild_steps)
+    step_pre, step_post = make_table_step_parts(p)
+
+    ts_mid = step_pre(ts, False, False, False)  # mid-step ts.step
+    ts_ref = step_post(ts_mid)
+    for _ in range(k - 1):
+        ts_ref = step_post(step_pre(ts_ref, False, False, False))
+    ts_ref = step_pre(ts_ref, False, False, False)
+
+    _, _, n_pad = _geometry(p)
+    tbl, strip = _mega_views(p, ts_mid)
+    mega = make_mega_span(p, n_pad)
+    tbl2, strip2 = jax.jit(mega)(tbl, strip, ts.step + 1)
+    _assert_fields_close(p, ts_ref, tbl2, strip2, 1e-4)
 
 
 def test_mega_chunk_matches_regular_chunk():
@@ -172,9 +179,9 @@ def test_mega_chunk_payload_and_obstacles():
     assert np.isfinite(np.asarray(a.vel)).all()
 
 
-def test_mega_fallback_redo_on_far_move():
+def test_mega_fallback_on_far_move():
     """A state that violates the incremental-rebuild preconditions must
-    take the megakernel's redo path (regular block, exact fallback) and
+    take the exact-argsort fallback inside the between-span rebuild and
     end up healthy — same macrostate as the regular chunk."""
     p = params_(n_cells=128, centroid_int=0.08, phase_update_interval=0.16)
 

@@ -581,6 +581,67 @@ def make_run_chunk_table(params: SimParams):
                 for j, kf in enumerate(TABLE_FIELDS)
             }
 
+        # TABLE_FIELDS layout: px0 py1 vx2 vy3 rad4 val5 afac6 phase7
+        # dead8 aa9 ar10 pay11 bid12 — MOVE_FIELDS are rows [0:6]+[7:9]
+        # +[12], so the packed rebuild slices/concats whole plane groups
+        assert TABLE_FIELDS[:6] + TABLE_FIELDS[7:9] + TABLE_FIELDS[
+            12:13
+        ] == MOVE_FIELDS
+
+        def _smart_rebuild_packed(tbl, strip, origin):
+            """_smart_rebuild on the megakernel's stacked (N_TF, C, gg)
+            planes — no flat-layout round trip per span.  The parking
+            strip passes through untouched on the incremental path (its
+            rows don't move, and its derived pay/afac already satisfy
+            their val/bid invariant, so the regular path's full-array
+            _derived_rows recompute is a value-level no-op there)."""
+            from .ops.table_rebuild import incremental_rebuild_planes
+
+            planes = jnp.concatenate(
+                [tbl[0:6], tbl[7:9], tbl[12:13]], axis=0
+            )
+            new_planes, ok = incremental_rebuild_planes(
+                params, planes, MOVE_FIELDS, origin
+            )
+
+            def take_inc(tbl, strip, origin):
+                f32 = jnp.float32
+                nval = new_planes[5] > 0.5
+                if params.has_payload:
+                    is_pay = nval & (
+                        new_planes[8].astype(jnp.int32)
+                        == params.n_cells - 1
+                    )
+                    pay = is_pay.astype(f32)
+                    afac = jnp.where(
+                        is_pay, f32(params.attraction_factor), f32(1.0)
+                    ) * nval.astype(f32)
+                else:
+                    pay = jnp.zeros_like(new_planes[8])
+                    afac = nval.astype(f32)
+                # aa/ar (rows 9:11) stay unmoved: they are dead values
+                # between integrate and collide (collide rewrites them)
+                new_tbl = jnp.concatenate(
+                    [
+                        new_planes[0:6],
+                        afac[None],
+                        new_planes[6:8],
+                        tbl[9:11],
+                        pay[None],
+                        new_planes[8:9],
+                    ],
+                    axis=0,
+                )
+                return new_tbl, strip, origin
+
+            def take_exact(tbl, strip, origin):
+                del origin
+                nf, no = _rebuild_fields(params, mega_unpack(tbl, strip))
+                tb, sb = mega_pack(nf)
+                return tb, sb, no
+
+            return jax.lax.cond(ok, take_inc, take_exact, tbl, strip, origin)
+
     # blocks of k steps whose LAST step rebuilds statically (no traced
     # rebuild cond in the scan body — see the note in make_table_step).
     # The schedule is chunk-relative: chunk entry re-anchors + reassigns
@@ -646,20 +707,8 @@ def make_run_chunk_table(params: SimParams):
                 path performs it."""
                 tbl, strip, origin, stp = carry
                 t2, s2 = mega(tbl, strip, stp)
-                # ungated spans consume no RNG and never touch the
-                # centroid ring — placeholders are sound here
-                ts_r = TableState(
-                    fields=mega_unpack(t2, s2),
-                    origin=origin,
-                    step=stp + (k - 1),
-                    key=jax.random.PRNGKey(0),
-                    centroid_ring=jnp.zeros(
-                        (params.centroid_steps, 2), jnp.float32
-                    ),
-                )
-                ts_r = _smart_rebuild(params, ts_r)
-                tb, sb = mega_pack(ts_r.fields)
-                return (tb, sb, ts_r.origin, stp + k), None
+                tb, sb, no = _smart_rebuild_packed(t2, s2, origin)
+                return (tb, sb, no, stp + k), None
 
             def mega_prefix(ts: TableState) -> TableState:
                 """The segment's gated k-step block MINUS its final post,

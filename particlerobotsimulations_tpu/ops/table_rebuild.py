@@ -271,13 +271,41 @@ def incremental_rebuild(
     g, cap = params.resolved_grid_dim(), params.storage_capacity()
     gg = g * g
     total = gg * cap
-    f32 = jnp.float32
-    h = f32(params.cutoff())
     nf = len(field_names)
 
     planes = jnp.stack(
         [fields[k][:total] for k in field_names]
     ).reshape(nf, cap, gg)
+    new_planes, ok = incremental_rebuild_planes(
+        params, planes, field_names, origin
+    )
+    new_fields = {
+        k: jnp.concatenate(
+            [new_planes[j].reshape(total), fields[k][total:]]
+        )
+        for j, k in enumerate(field_names)
+    }
+    return new_fields, ok
+
+
+def incremental_rebuild_planes(
+    params: SimParams,
+    planes: jax.Array,      # (nf, cap, gg) f32 — pre-stacked field planes
+    field_names: tuple,     # names for planes' leading axis (must have
+                            # px/py/val)
+    origin: jax.Array,      # (2,) f32 — the chunk's fixed grid anchor
+):
+    """Plane-native core of :func:`incremental_rebuild`: returns
+    ``(new_planes, ok)`` with the same shape as ``planes``.  The
+    megakernel's between-span rebuild (engine_table._smart_rebuild_packed)
+    calls this directly on its stacked (N_TF, cap, gg) table slices to
+    avoid a flat-layout round trip per span."""
+    g, cap = params.resolved_grid_dim(), params.storage_capacity()
+    gg = g * g
+    f32 = jnp.float32
+    h = f32(params.cutoff())
+    nf = len(field_names)
+
     val = planes[field_names.index("val")] > 0.5
     px = planes[field_names.index("px")]
     py = planes[field_names.index("py")]
@@ -321,11 +349,4 @@ def incremental_rebuild(
     # fallback and at every chunk entry — the same no-pair-force semantics
     # the capacity drop always had.
     ok = ~(moved_far | overflow | edge)
-
-    new_fields = {
-        k: jnp.concatenate(
-            [new_planes[j].reshape(total), fields[k][total:]]
-        )
-        for j, k in enumerate(field_names)
-    }
-    return new_fields, ok
+    return new_planes, ok

@@ -816,6 +816,109 @@ def make_run_chunk_table_batched(params: SimParams):
 
     seg = gate_seg(params)
 
+    # batched megakernel: vmap the rebuild-to-rebuild span (one pallas
+    # grid iteration per scene) and run the between-span rebuild with the
+    # incremental-vs-exact cond OUTSIDE the vmap, mirroring
+    # _smart_rebuild_batched — same span decomposition as the
+    # single-scene loop above
+    from .ops.megakernel import mega_eligible
+
+    use_mega = mega_eligible(params)
+    if use_mega:
+        from .ops.megakernel import make_mega_span
+        from .ops.table_rebuild import incremental_rebuild_planes
+
+        total_m, _, n_pad_m = _geometry(params)
+        g_m = params.resolved_grid_dim()
+        cap_m = params.storage_capacity()
+        s_sub_m = n_pad_m // 128
+        vmega = jax.vmap(
+            make_mega_span(params, n_pad_m), in_axes=(0, 0, None)
+        )
+
+        def mega_pack_b(fields):
+            tbl = jnp.stack(
+                [
+                    fields[kf][:, :total_m].reshape(-1, cap_m, g_m * g_m)
+                    for kf in TABLE_FIELDS
+                ],
+                axis=1,
+            )
+            strip = jnp.stack(
+                [
+                    fields[kf][:, total_m:].reshape(-1, s_sub_m, 128)
+                    for kf in TABLE_FIELDS
+                ],
+                axis=1,
+            )
+            return tbl, strip
+
+        def mega_unpack_b(tbl, strip):
+            b = tbl.shape[0]
+            return {
+                kf: jnp.concatenate(
+                    [
+                        tbl[:, j].reshape(b, total_m),
+                        strip[:, j].reshape(b, n_pad_m),
+                    ],
+                    axis=1,
+                )
+                for j, kf in enumerate(TABLE_FIELDS)
+            }
+
+        def _smart_rebuild_packed_b(tbl, strip, origin):
+            """_smart_rebuild_packed over a scene axis; the cond predicate
+            is all-scenes (a per-scene cond under vmap decays to a select
+            that runs the exact fallback every rebuild)."""
+            planes = jnp.concatenate(
+                [tbl[:, 0:6], tbl[:, 7:9], tbl[:, 12:13]], axis=1
+            )
+            new_planes, ok = jax.vmap(
+                lambda p_, o: incremental_rebuild_planes(
+                    params, p_, MOVE_FIELDS, o
+                )
+            )(planes, origin)
+
+            def take_inc(tbl, strip, origin):
+                f32 = jnp.float32
+                nval = new_planes[:, 5] > 0.5
+                if params.has_payload:
+                    is_pay = nval & (
+                        new_planes[:, 8].astype(jnp.int32)
+                        == params.n_cells - 1
+                    )
+                    pay = is_pay.astype(f32)
+                    afac = jnp.where(
+                        is_pay, f32(params.attraction_factor), f32(1.0)
+                    ) * nval.astype(f32)
+                else:
+                    pay = jnp.zeros_like(new_planes[:, 8])
+                    afac = nval.astype(f32)
+                new_tbl = jnp.concatenate(
+                    [
+                        new_planes[:, 0:6],
+                        afac[:, None],
+                        new_planes[:, 6:8],
+                        tbl[:, 9:11],
+                        pay[:, None],
+                        new_planes[:, 8:9],
+                    ],
+                    axis=1,
+                )
+                return new_tbl, strip, origin
+
+            def take_exact(tbl, strip, origin):
+                del origin
+                nf, no = jax.vmap(lambda f: _rebuild_fields(params, f))(
+                    mega_unpack_b(tbl, strip)
+                )
+                tb, sb = mega_pack_b(nf)
+                return tb, sb, no
+
+            return jax.lax.cond(
+                jnp.all(ok), take_inc, take_exact, tbl, strip, origin
+            )
+
     @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=0)
     def run_chunk(
         state: SimState, n_steps: int, seg_aligned: bool = False
@@ -854,7 +957,41 @@ def make_run_chunk_table_batched(params: SimParams):
         if n_segs:
             bps = seg // k
 
+            def mega_span_block(carry, _):
+                tbl, strip, origin, stp = carry
+                t2, s2 = vmega(tbl, strip, stp)
+                tb, sb, no = _smart_rebuild_packed_b(t2, s2, origin)
+                return (tb, sb, no, stp + k), None
+
+            def mega_prefix(ts: TableState) -> TableState:
+                """Gated entry block minus its final post (see the
+                single-scene loop) — lockstep scenes, scene-0 gates."""
+                for j in range(k - 1):
+                    ts = step_at(ts, False, gated=(j == 0))
+                g_pre = (
+                    _gates(params, ts.step[0])
+                    if k == 1
+                    else (False, False, False)
+                )
+                ts = vpre(ts, *g_pre)
+                return _smart_rebuild_batched(params, ts)
+
             def seg_body(ts: TableState, _):
+                if bps > 1 and use_mega:
+                    ts = mega_prefix(ts)
+                    tbl, strip = mega_pack_b(ts.fields)
+                    (tbl, strip, origin2, stp2), _ = jax.lax.scan(
+                        mega_span_block,
+                        (tbl, strip, ts.origin, ts.step[0] + 1),
+                        None,
+                        length=bps - 1,
+                    )
+                    ts = ts._replace(
+                        fields=mega_unpack_b(tbl, strip),
+                        origin=origin2,
+                        step=jnp.broadcast_to(stp2 - 1, ts.step.shape),
+                    )
+                    return vpost(ts), None
                 ts = block_at(ts, True)
                 if bps > 1:
                     def ublock(ts, _):

@@ -46,8 +46,10 @@ Scope and semantics:
   and never touch the centroid ring, so the span carry is just
   (table planes, parking-strip planes, step).
 * Eligibility (``mega_eligible``): PALLAS backend, no overflow spill
-  sublanes, and a table of at most 2**14 rows (G in {16, 32} at the
-  default capacity 16) so state + pair temporaries fit VMEM.
+  sublanes, and a table of at most 2**12 rows (G=16 at the default
+  capacity 16, bots up to ~1.2k) so state + pair temporaries fit VMEM
+  without starving the Mosaic scheduler (G=32 compiles with a raised
+  scoped-VMEM limit but runs ~2x slower than the regular path).
 
 Mosaic's fusion choices may differ from XLA's by 1 ulp on identical
 float32 expressions, so cross-path comparisons are tolerance-based, like
@@ -72,20 +74,22 @@ from .forces import (
 )
 from .pallas_stencil import OFFSETS, _kernel_fields, _pair_block
 
-# row budget: G=32 at capacity 16.  State planes (13 x 16 x 1024 f32
-# = 832 KB) + 5 pre-rolled candidate blocks + (C_t, C_c, L) pair
-# temporaries stay well under the ~16 MB VMEM budget.
-MAX_ROWS = 1 << 14
+# row budget: G=16 at capacity 16 — the ONLY table size where the fused
+# span wins.  G=32 (gg=1024 lanes) needs ~31 MB of scoped VMEM for the
+# pair-block temporaries (over Mosaic's 16 MB default); raising the limit
+# compiles but serializes the schedule: measured 55-56 us/step at 2k/4k
+# vs 28/47 on the regular path.  G=16 state + temporaries fit comfortably
+# (13 x 16 x 256 planes = 208 KB each way, ~256 KB per pair temporary).
+MAX_ROWS = 1 << 12
 
 
 def mega_eligible(params: SimParams) -> bool:
     """Whether the table-resident chunk loop may use the megakernel."""
     from ..config import ForceBackend
 
-    # EXPERIMENTAL, opt-in via PBOT_MEGA=1 until the TPU measurement of
-    # the span form lands (read per call so tests can toggle it around
-    # make_run_chunk_table)
-    if os.environ.get("PBOT_MEGA", "0") != "1":
+    # default ON for eligible (G=16) tables; opt out via PBOT_MEGA=0
+    # (read per call so tests can toggle it around make_run_chunk_table)
+    if os.environ.get("PBOT_MEGA", "1") == "0":
         return False
     p = params
     if p.resolved_backend() != ForceBackend.PALLAS:

@@ -102,22 +102,34 @@ def test_table_loop_crosses_phase_gate():
 def test_seg_aligned_fast_path_matches_legacy():
     """The amortized-cond segment schedule must be physics-identical to the
     per-step traced-cond schedule: gates can only fire on seg multiples, so
-    statically ungating the other steps changes nothing but the cond cost."""
+    statically ungating the other steps changes nothing but the cond cost.
+
+    PBOT_MEGA=0: this asserts BITWISE equality between two gate schedules
+    of the same compiled ops — the megakernel (default-on for this table
+    size, only on the seg-aligned path) is a different Mosaic program and
+    can never be bitwise against XLA; its tolerance-level equivalence is
+    covered by test_megakernel."""
+    import os
+
     from particlerobotsimulations_tpu.engine_table import gate_seg
 
     # cog every 8 steps, phase every 12 -> seg = gcd = 4 = slot_rebuild_steps
     p = params_(n_cells=128, centroid_int=0.08, phase_update_interval=0.12)
     assert gate_seg(p.validate()) == 4
-    run = make_run_chunk_table(p)
+    os.environ["PBOT_MEGA"] = "0"
+    try:
+        run = make_run_chunk_table(p)
 
-    def state0():
-        # fresh per call: run_chunk donates its input buffers
-        return jitter(Simulation(p).state)
+        def state0():
+            # fresh per call: run_chunk donates its input buffers
+            return jitter(Simulation(p).state)
 
-    # 26 = 6 segments + 2 remainder steps; crosses cog gates at 8,16,24 and
-    # phase gates at 12,24
-    legacy = run(state0(), 26, False)
-    fast = run(state0(), 26, True)
+        # 26 = 6 segments + 2 remainder steps; crosses cog gates at 8,16,24
+        # and phase gates at 12,24
+        legacy = run(state0(), 26, False)
+        fast = run(state0(), 26, True)
+    finally:
+        os.environ.pop("PBOT_MEGA", None)
     for field in ("pos", "vel", "rad", "phase", "centroid_ring"):
         np.testing.assert_array_equal(
             np.asarray(getattr(fast, field)),
@@ -128,14 +140,21 @@ def test_seg_aligned_fast_path_matches_legacy():
 
 
 def test_seg_aligned_fast_path_batched():
+    # PBOT_MEGA=0 for the same bitwise-schedule reason as the test above
+    import os
+
     from particlerobotsimulations_tpu.engine_table import gate_seg
     from particlerobotsimulations_tpu.parallel.sweep import make_batch_state
 
     p = params_(n_cells=96, centroid_int=0.08, phase_update_interval=0.12)
     assert gate_seg(p.validate()) == 4
-    run = make_run_chunk_table_batched(p)
-    legacy = run(make_batch_state(p, seeds=[0, 1]), 14, False)
-    fast = run(make_batch_state(p, seeds=[0, 1]), 14, True)
+    os.environ["PBOT_MEGA"] = "0"
+    try:
+        run = make_run_chunk_table_batched(p)
+        legacy = run(make_batch_state(p, seeds=[0, 1]), 14, False)
+        fast = run(make_batch_state(p, seeds=[0, 1]), 14, True)
+    finally:
+        os.environ.pop("PBOT_MEGA", None)
     for field in ("pos", "vel", "rad", "phase"):
         np.testing.assert_array_equal(
             np.asarray(getattr(fast, field)),

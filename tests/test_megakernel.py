@@ -59,22 +59,24 @@ def _mega_views(params, ts):
 
 
 def test_eligibility():
-    os.environ["PBOT_MEGA"] = "1"
+    # default ON for eligible (G=16) tables
+    assert mega_eligible(params_().validate())
+    # G=32+ tables lose to the regular path (scoped-VMEM pressure)
+    assert not mega_eligible(params_(n_cells=2_000).validate())
+    assert not mega_eligible(params_(n_cells=10_000).validate())
+    # overflow spill sublanes are out of scope
+    assert not mega_eligible(
+        params_(n_cells=1000, overflow_slots=8).validate()
+    )
+    assert not mega_eligible(
+        params_(force_backend=ForceBackend.DENSE).validate()
+    )
+    # opt-out
+    os.environ["PBOT_MEGA"] = "0"
     try:
-        assert mega_eligible(params_().validate())
-        # 10k-bot tables exceed the VMEM row budget
-        assert not mega_eligible(params_(n_cells=10_000).validate())
-        # overflow spill sublanes (n > 65536) are out of scope
-        assert not mega_eligible(
-            params_(n_cells=1000, overflow_slots=8).validate()
-        )
-        assert not mega_eligible(
-            params_(force_backend=ForceBackend.DENSE).validate()
-        )
+        assert not mega_eligible(params_().validate())
     finally:
         os.environ.pop("PBOT_MEGA", None)
-    # experimental: off unless opted in
-    assert not mega_eligible(params_().validate())
 
 
 def _assert_fields_close(p, ts_ref, tbl2, strip2, atol):
@@ -207,6 +209,39 @@ def test_mega_fallback_on_far_move():
     assert np.isfinite(np.asarray(a.pos)).all()
     np.testing.assert_allclose(
         np.asarray(a.pos), np.asarray(b.pos), atol=1e-3
+    )
+
+
+def test_mega_batched_chunk_matches_regular_batched():
+    """The vmapped-span batched loop must agree with the regular batched
+    loop over seg-aligned chunks with gates firing."""
+    from particlerobotsimulations_tpu.engine_table import (
+        make_run_chunk_table_batched,
+    )
+    from particlerobotsimulations_tpu.parallel.sweep import make_batch_state
+
+    p = params_(
+        n_cells=256, centroid_int=0.08, phase_update_interval=0.16
+    )
+
+    def run_with(mega: str):
+        os.environ["PBOT_MEGA"] = mega
+        try:
+            run = make_run_chunk_table_batched(p)
+            # jitter: pristine HEX lattices flip magnet branches between
+            # differently-compiled programs (see module docstring)
+            return run(jitter(make_batch_state(p, seeds=[0, 1])), 24, True)
+        finally:
+            os.environ.pop("PBOT_MEGA", None)
+
+    a = run_with("1")
+    b = run_with("0")
+    assert int(a.step[0]) == 24 and int(a.step[1]) == 24
+    np.testing.assert_allclose(
+        np.asarray(a.pos), np.asarray(b.pos), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.phase), np.asarray(b.phase), atol=1e-4
     )
 
 

@@ -588,13 +588,19 @@ def make_run_chunk_table(params: SimParams):
             12:13
         ] == MOVE_FIELDS
 
-        def _smart_rebuild_packed(tbl, strip, origin):
-            """_smart_rebuild on the megakernel's stacked (N_TF, C, gg)
-            planes — no flat-layout round trip per span.  The parking
-            strip passes through untouched on the incremental path (its
-            rows don't move, and its derived pay/afac already satisfy
-            their val/bid invariant, so the regular path's full-array
-            _derived_rows recompute is a value-level no-op there)."""
+        def _incremental_packed(tbl, origin):
+            """Unconditional incremental rebuild on the megakernel's
+            stacked (N_TF, C, gg) planes — no flat-layout round trip, no
+            exact-fallback cond (a per-span cond measured 1.4 us/step at
+            1k; the seg loop instead ANDs the returned ``ok`` flags and
+            redoes the WHOLE segment on the regular path when any span's
+            preconditions failed — see seg_body).  When ``ok`` is False
+            the returned planes are garbage the caller must discard; all
+            indexing is lane-structural, so nothing escapes.  The parking
+            strip passes through untouched (its rows don't move, and its
+            derived pay/afac already satisfy their val/bid invariant, so
+            the regular path's full-array _derived_rows recompute is a
+            value-level no-op there)."""
             from .ops.table_rebuild import incremental_rebuild_planes
 
             planes = jnp.concatenate(
@@ -603,44 +609,33 @@ def make_run_chunk_table(params: SimParams):
             new_planes, ok = incremental_rebuild_planes(
                 params, planes, MOVE_FIELDS, origin
             )
-
-            def take_inc(tbl, strip, origin):
-                f32 = jnp.float32
-                nval = new_planes[5] > 0.5
-                if params.has_payload:
-                    is_pay = nval & (
-                        new_planes[8].astype(jnp.int32)
-                        == params.n_cells - 1
-                    )
-                    pay = is_pay.astype(f32)
-                    afac = jnp.where(
-                        is_pay, f32(params.attraction_factor), f32(1.0)
-                    ) * nval.astype(f32)
-                else:
-                    pay = jnp.zeros_like(new_planes[8])
-                    afac = nval.astype(f32)
-                # aa/ar (rows 9:11) stay unmoved: they are dead values
-                # between integrate and collide (collide rewrites them)
-                new_tbl = jnp.concatenate(
-                    [
-                        new_planes[0:6],
-                        afac[None],
-                        new_planes[6:8],
-                        tbl[9:11],
-                        pay[None],
-                        new_planes[8:9],
-                    ],
-                    axis=0,
+            f32 = jnp.float32
+            nval = new_planes[5] > 0.5
+            if params.has_payload:
+                is_pay = nval & (
+                    new_planes[8].astype(jnp.int32) == params.n_cells - 1
                 )
-                return new_tbl, strip, origin
-
-            def take_exact(tbl, strip, origin):
-                del origin
-                nf, no = _rebuild_fields(params, mega_unpack(tbl, strip))
-                tb, sb = mega_pack(nf)
-                return tb, sb, no
-
-            return jax.lax.cond(ok, take_inc, take_exact, tbl, strip, origin)
+                pay = is_pay.astype(f32)
+                afac = jnp.where(
+                    is_pay, f32(params.attraction_factor), f32(1.0)
+                ) * nval.astype(f32)
+            else:
+                pay = jnp.zeros_like(new_planes[8])
+                afac = nval.astype(f32)
+            # aa/ar (rows 9:11) stay unmoved: they are dead values
+            # between integrate and collide (collide rewrites them)
+            new_tbl = jnp.concatenate(
+                [
+                    new_planes[0:6],
+                    afac[None],
+                    new_planes[6:8],
+                    tbl[9:11],
+                    pay[None],
+                    new_planes[8:9],
+                ],
+                axis=0,
+            )
+            return new_tbl, ok
 
     # blocks of k steps whose LAST step rebuilds statically (no traced
     # rebuild cond in the scan body — see the note in make_table_step).
@@ -696,20 +691,6 @@ def make_run_chunk_table(params: SimParams):
         if n_segs:
             bps = seg // k
 
-            def mega_span_block(carry, _):
-                """One ungated span through the megakernel — post of the
-                previous block's last step (whose rebuild the caller just
-                performed), k-1 full steps, pre of this block's last
-                step — then the regular slot rebuild (incremental
-                compaction with its exact-argsort fallback, which may
-                re-anchor origin) slotted between the span's final pre
-                and the next span's head post, exactly where the regular
-                path performs it."""
-                tbl, strip, origin, stp = carry
-                t2, s2 = mega(tbl, strip, stp)
-                tb, sb, no = _smart_rebuild_packed(t2, s2, origin)
-                return (tb, sb, no, stp + k), None
-
             def mega_prefix(ts: TableState) -> TableState:
                 """The segment's gated k-step block MINUS its final post,
                 ending after pre + rebuild of step s+k-1: the post of
@@ -725,25 +706,7 @@ def make_run_chunk_table(params: SimParams):
                 ts = step_pre_m(ts, *g_pre)
                 return _smart_rebuild(params, ts)
 
-            def seg_body(ts: TableState, _):
-                if bps > 1 and use_mega:
-                    ts = mega_prefix(ts)
-                    tbl, strip = mega_pack(ts.fields)
-                    (tbl, strip, origin2, stp2), _ = jax.lax.scan(
-                        mega_span_block,
-                        (tbl, strip, ts.origin, ts.step + 1),
-                        None,
-                        length=bps - 1,
-                    )
-                    # the spans are phase-shifted: the last one ended
-                    # mid-step stp2 - 1 (after pre + rebuild); its post
-                    # runs on the regular path, completing the segment
-                    ts = ts._replace(
-                        fields=mega_unpack(tbl, strip),
-                        origin=origin2,
-                        step=stp2 - 1,
-                    )
-                    return step_post_m(ts), None
+            def regular_seg(ts: TableState) -> TableState:
                 ts = block_at(ts, True)
                 if bps > 1:
                     def ublock(ts, _):
@@ -753,6 +716,63 @@ def make_run_chunk_table(params: SimParams):
                         ublock, ts, None, length=bps - 1,
                         unroll=scan_unroll,
                     )
+                return ts
+
+            def seg_body(ts: TableState, _):
+                if not (bps > 1 and use_mega):
+                    return regular_seg(ts), None
+                tsp = mega_prefix(ts)
+
+                def spans(tsp):
+                    # the incremental rebuild never re-anchors, so origin
+                    # is loop-invariant across the spans (closure, not
+                    # carry)
+                    origin0 = tsp.origin
+
+                    def span_block(carry, _):
+                        """One ungated span through the megakernel — post
+                        of the previous block's last step (whose rebuild
+                        the caller just performed), k-1 full steps, pre
+                        of this block's last step — then the
+                        unconditional incremental rebuild slotted between
+                        the span's final pre and the next span's head
+                        post, exactly where the regular path performs
+                        it.  The per-span ``ok`` flags AND into the
+                        carry; the seg end adopts or redoes."""
+                        tbl, strip, stp, okall = carry
+                        t2, s2 = mega(tbl, strip, stp)
+                        tb, ok = _incremental_packed(t2, origin0)
+                        return (tb, s2, stp + k, okall & ok), None
+
+                    tbl, strip = mega_pack(tsp.fields)
+                    (tbl, strip, stp2, okall), _ = jax.lax.scan(
+                        span_block,
+                        (tbl, strip, tsp.step + 1, jnp.asarray(True)),
+                        None,
+                        length=bps - 1,
+                    )
+                    # the spans are phase-shifted: the last one ended
+                    # mid-step stp2 - 1 (after pre + rebuild); its post
+                    # runs on the regular path, completing the segment
+                    t = tsp._replace(
+                        fields=mega_unpack(tbl, strip),
+                        step=stp2 - 1,
+                    )
+                    return step_post_m(t), okall
+
+                out, okall = spans(tsp)
+                # deferred fallback: a failed incremental precondition at
+                # ANY span poisons the rest of the segment with garbage
+                # (structurally safe, numerically meaningless) — redo the
+                # whole segment on the regular path, whose _smart_rebuild
+                # handles the exact fallback per rebuild.  Costs one cond
+                # per SEGMENT instead of one per span (1.4 us/step at 1k).
+                ts = jax.lax.cond(
+                    okall,
+                    lambda t0, o: o,
+                    lambda t0, o: regular_seg(t0),
+                    ts, out,
+                )
                 return ts, None
 
             ts, _ = jax.lax.scan(seg_body, ts, None, length=n_segs)
@@ -866,10 +886,14 @@ def make_run_chunk_table_batched(params: SimParams):
                 for j, kf in enumerate(TABLE_FIELDS)
             }
 
-        def _smart_rebuild_packed_b(tbl, strip, origin):
-            """_smart_rebuild_packed over a scene axis; the cond predicate
-            is all-scenes (a per-scene cond under vmap decays to a select
-            that runs the exact fallback every rebuild)."""
+        def _incremental_packed_b(tbl, origin):
+            """Unconditional incremental rebuild over a scene axis;
+            returns (new_tbl, all-scenes ok).  The seg loop ANDs the ok
+            flags and redoes the whole segment on the regular batched
+            path when any scene's span failed (a per-scene cond under
+            vmap decays to a select that runs the exact fallback every
+            rebuild; a per-span cond costs 1.4 us/step — see the single
+            -scene loop)."""
             planes = jnp.concatenate(
                 [tbl[:, 0:6], tbl[:, 7:9], tbl[:, 12:13]], axis=1
             )
@@ -878,46 +902,32 @@ def make_run_chunk_table_batched(params: SimParams):
                     params, p_, MOVE_FIELDS, o
                 )
             )(planes, origin)
-
-            def take_inc(tbl, strip, origin):
-                f32 = jnp.float32
-                nval = new_planes[:, 5] > 0.5
-                if params.has_payload:
-                    is_pay = nval & (
-                        new_planes[:, 8].astype(jnp.int32)
-                        == params.n_cells - 1
-                    )
-                    pay = is_pay.astype(f32)
-                    afac = jnp.where(
-                        is_pay, f32(params.attraction_factor), f32(1.0)
-                    ) * nval.astype(f32)
-                else:
-                    pay = jnp.zeros_like(new_planes[:, 8])
-                    afac = nval.astype(f32)
-                new_tbl = jnp.concatenate(
-                    [
-                        new_planes[:, 0:6],
-                        afac[:, None],
-                        new_planes[:, 6:8],
-                        tbl[:, 9:11],
-                        pay[:, None],
-                        new_planes[:, 8:9],
-                    ],
-                    axis=1,
+            f32 = jnp.float32
+            nval = new_planes[:, 5] > 0.5
+            if params.has_payload:
+                is_pay = nval & (
+                    new_planes[:, 8].astype(jnp.int32)
+                    == params.n_cells - 1
                 )
-                return new_tbl, strip, origin
-
-            def take_exact(tbl, strip, origin):
-                del origin
-                nf, no = jax.vmap(lambda f: _rebuild_fields(params, f))(
-                    mega_unpack_b(tbl, strip)
-                )
-                tb, sb = mega_pack_b(nf)
-                return tb, sb, no
-
-            return jax.lax.cond(
-                jnp.all(ok), take_inc, take_exact, tbl, strip, origin
+                pay = is_pay.astype(f32)
+                afac = jnp.where(
+                    is_pay, f32(params.attraction_factor), f32(1.0)
+                ) * nval.astype(f32)
+            else:
+                pay = jnp.zeros_like(new_planes[:, 8])
+                afac = nval.astype(f32)
+            new_tbl = jnp.concatenate(
+                [
+                    new_planes[:, 0:6],
+                    afac[:, None],
+                    new_planes[:, 6:8],
+                    tbl[:, 9:11],
+                    pay[:, None],
+                    new_planes[:, 8:9],
+                ],
+                axis=1,
             )
+            return new_tbl, jnp.all(ok)
 
     @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=0)
     def run_chunk(
@@ -957,12 +967,6 @@ def make_run_chunk_table_batched(params: SimParams):
         if n_segs:
             bps = seg // k
 
-            def mega_span_block(carry, _):
-                tbl, strip, origin, stp = carry
-                t2, s2 = vmega(tbl, strip, stp)
-                tb, sb, no = _smart_rebuild_packed_b(t2, s2, origin)
-                return (tb, sb, no, stp + k), None
-
             def mega_prefix(ts: TableState) -> TableState:
                 """Gated entry block minus its final post (see the
                 single-scene loop) — lockstep scenes, scene-0 gates."""
@@ -976,28 +980,51 @@ def make_run_chunk_table_batched(params: SimParams):
                 ts = vpre(ts, *g_pre)
                 return _smart_rebuild_batched(params, ts)
 
-            def seg_body(ts: TableState, _):
-                if bps > 1 and use_mega:
-                    ts = mega_prefix(ts)
-                    tbl, strip = mega_pack_b(ts.fields)
-                    (tbl, strip, origin2, stp2), _ = jax.lax.scan(
-                        mega_span_block,
-                        (tbl, strip, ts.origin, ts.step[0] + 1),
-                        None,
-                        length=bps - 1,
-                    )
-                    ts = ts._replace(
-                        fields=mega_unpack_b(tbl, strip),
-                        origin=origin2,
-                        step=jnp.broadcast_to(stp2 - 1, ts.step.shape),
-                    )
-                    return vpost(ts), None
+            def regular_seg(ts: TableState) -> TableState:
                 ts = block_at(ts, True)
                 if bps > 1:
                     def ublock(ts, _):
                         return block_at(ts, False), None
 
                     ts, _ = jax.lax.scan(ublock, ts, None, length=bps - 1)
+                return ts
+
+            def seg_body(ts: TableState, _):
+                if not (bps > 1 and use_mega):
+                    return regular_seg(ts), None
+                tsp = mega_prefix(ts)
+
+                def spans(tsp):
+                    origin0 = tsp.origin
+
+                    def span_block(carry, _):
+                        tbl, strip, stp, okall = carry
+                        t2, s2 = vmega(tbl, strip, stp)
+                        tb, ok = _incremental_packed_b(t2, origin0)
+                        return (tb, s2, stp + k, okall & ok), None
+
+                    tbl, strip = mega_pack_b(tsp.fields)
+                    (tbl, strip, stp2, okall), _ = jax.lax.scan(
+                        span_block,
+                        (tbl, strip, tsp.step[0] + 1, jnp.asarray(True)),
+                        None,
+                        length=bps - 1,
+                    )
+                    t = tsp._replace(
+                        fields=mega_unpack_b(tbl, strip),
+                        step=jnp.broadcast_to(stp2 - 1, tsp.step.shape),
+                    )
+                    return vpost(t), okall
+
+                out, okall = spans(tsp)
+                # deferred fallback: redo the whole segment on the
+                # regular batched path if any scene's span rebuild failed
+                ts = jax.lax.cond(
+                    okall,
+                    lambda t0, o: o,
+                    lambda t0, o: regular_seg(t0),
+                    ts, out,
+                )
                 return ts, None
 
             ts, _ = jax.lax.scan(seg_body, ts, None, length=n_segs)

@@ -536,6 +536,7 @@ def make_run_chunk_table(params: SimParams):
     really is seg-aligned (Simulation.run checks host-side)."""
     params = params.validate()
     step = make_table_step(params)
+    step_pre_f, step_post_f = make_table_step_parts(params)
     k = max(1, params.slot_rebuild_steps)
     seg = gate_seg(params)
 
@@ -718,8 +719,91 @@ def make_run_chunk_table(params: SimParams):
                     )
                 return ts
 
+            # deferred-fallback group size for the non-mega seg path: the
+            # _smart_rebuild incremental-vs-exact cond costs ~7.2 us/step
+            # at 10k (its operands route the whole ~30 MB TableState per
+            # rebuild, defeating buffer reuse), while exact fallbacks
+            # fire ~once per 4000 steps (measured 15/15000 rebuilds).
+            # Groups of GR blocks run the incremental UNCONDITIONALLY and
+            # AND the ok flags; one cond per group adopts or redoes the
+            # group from its entry state on the regular path.  Redo is
+            # bitwise the regular trajectory (the re-run blocks take the
+            # same deterministic incrementals, then the same exact
+            # fallback), and adopt is bitwise the cond-taken branch — so
+            # this schedule is bitwise-identical to the legacy one.
+            # Expected cost ~ 0.099*GR (redo) + 7.2/GR (cond) us/step at
+            # 10k -> GR ~ 7-10; 7 divides the default 49 ublocks evenly.
+            GR = 7
+
+            def block_nc(carry, _):
+                """One k-step block whose rebuild is the unconditional
+                incremental (ok deferred to the group cond)."""
+                from .ops.table_rebuild import incremental_rebuild
+
+                ts, okacc = carry
+                if k > 1:
+                    if unroll_body:
+                        for j in range(k - 1):
+                            ts = step_at(ts, False, gated=False)
+                    else:
+                        ts = step_at(ts, False, gated=False)
+                        if k > 2:
+                            ts, _ = jax.lax.scan(
+                                plain_u, ts, None, length=k - 2
+                            )
+                ts = step_pre_f(ts, False, False, False)
+                moved, ok = incremental_rebuild(
+                    params, ts.fields, MOVE_FIELDS, ts.origin
+                )
+                f = dict(ts.fields)
+                f.update(moved)
+                ts = ts._replace(fields=_derived_rows(params, f))
+                return (step_post_f(ts), okacc & ok), None
+
+            def deferred_groups(ts: TableState, n_groups: int):
+                def group(ts, _):
+                    (out, okall), _ = jax.lax.scan(
+                        block_nc, (ts, jnp.asarray(True)), None, length=GR
+                    )
+                    def redo(t0, o):
+                        del o
+                        def rb(t, _):
+                            return block_at(t, False), None
+
+                        t0, _ = jax.lax.scan(rb, t0, None, length=GR)
+                        return t0
+
+                    ts = jax.lax.cond(
+                        okall, lambda t0, o: o, redo, ts, out
+                    )
+                    return ts, None
+
+                ts, _ = jax.lax.scan(group, ts, None, length=n_groups)
+                return ts
+
+            def deferred_seg(ts: TableState) -> TableState:
+                """regular_seg with the ublocks' rebuild conds deferred to
+                one cond per GR-block group; bitwise-identical schedule."""
+                ts = block_at(ts, True)
+                n_groups, rem = divmod(bps - 1, GR)
+                if n_groups:
+                    ts = deferred_groups(ts, n_groups)
+                if rem:
+                    def ublock(ts, _):
+                        return block_at(ts, False), None
+
+                    ts, _ = jax.lax.scan(
+                        ublock, ts, None, length=rem,
+                        unroll=scan_unroll,
+                    )
+                return ts
+
+            use_defer = bps - 1 >= GR and (k == 1 or unroll_blocks)
+
             def seg_body(ts: TableState, _):
                 if not (bps > 1 and use_mega):
+                    if use_defer:
+                        return deferred_seg(ts), None
                     return regular_seg(ts), None
                 tsp = mega_prefix(ts)
 

@@ -163,6 +163,52 @@ def test_seg_aligned_fast_path_batched():
         )
 
 
+def test_deferred_fallback_groups_bitwise():
+    """The deferred-fallback group schedule (unconditional incremental
+    rebuild + one adopt-or-redo cond per GR-block group) is BITWISE
+    identical to the legacy per-step-cond schedule: adopt equals the
+    cond-taken incremental, and a redo re-runs the group through the
+    regular blocks, reproducing the same deterministic incrementals and
+    the same exact fallback.  PBOT_MEGA=0 keeps the small table on the
+    non-mega deferred path (the megakernel is a different program)."""
+    import os
+
+    from particlerobotsimulations_tpu.engine_table import gate_seg
+
+    # seg = gcd(32, 64) = 32, k = 4 -> bps - 1 = 7 = one GR=7 group
+    p = params_(n_cells=128, centroid_int=0.32, phase_update_interval=0.64)
+    assert gate_seg(p.validate()) == 32
+
+    os.environ["PBOT_MEGA"] = "0"
+    try:
+        run = make_run_chunk_table(p)
+
+        def state0(kick: float):
+            st = jitter(Simulation(p).state)
+            if kick:
+                # a >1-cell-per-rebuild-window mover: every group's ok
+                # fails and the redo path must reproduce the legacy
+                # trajectory exactly
+                import jax.numpy as jnp
+
+                kickv = jnp.zeros_like(st.vel).at[7, 0].set(kick)
+                st = st._replace(vel=st.vel + kickv)
+            return st
+
+        for kick in (0.0, 60.0):
+            legacy = run(state0(kick), 70, False)
+            fast = run(state0(kick), 70, True)
+            for field in ("pos", "vel", "rad", "phase", "centroid_ring"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(fast, field)),
+                    np.asarray(getattr(legacy, field)),
+                    err_msg=f"{field} kick={kick}",
+                )
+            assert int(fast.step) == 70
+    finally:
+        os.environ.pop("PBOT_MEGA", None)
+
+
 def test_gate_seg_guards():
     from particlerobotsimulations_tpu.engine_table import gate_seg
 

@@ -1073,8 +1073,81 @@ def make_run_chunk_table_batched(params: SimParams):
                     ts, _ = jax.lax.scan(ublock, ts, None, length=bps - 1)
                 return ts
 
+            # deferred-fallback groups, batched twin of the single-scene
+            # schedule: _smart_rebuild_batched's all-scenes cond still
+            # routes the whole batched TableState per block; groups of GR
+            # blocks run every scene's incremental UNCONDITIONALLY, AND
+            # the ok flags across scenes and blocks, and adopt-or-redo
+            # the group with ONE cond (bitwise-identical — see the
+            # single-scene deferred_seg).
+            GR = 7
+
+            def block_nc(carry, _):
+                from .ops.table_rebuild import incremental_rebuild
+
+                ts, okacc = carry
+                if k > 1:
+                    if unroll_body:
+                        for j in range(k - 1):
+                            ts = step_at(ts, False, gated=False)
+                    else:
+                        ts = step_at(ts, False, gated=False)
+                        if k > 2:
+                            ts, _ = jax.lax.scan(
+                                plain_u, ts, None, length=k - 2
+                            )
+                ts = vpre(ts, False, False, False)
+                moved, ok = jax.vmap(
+                    lambda f, o: incremental_rebuild(
+                        params, f, MOVE_FIELDS, o
+                    )
+                )(ts.fields, ts.origin)
+                f = dict(ts.fields)
+                f.update(moved)
+                ts = ts._replace(fields=_derived_rows(params, f))
+                return (vpost(ts), okacc & jnp.all(ok)), None
+
+            def deferred_groups(ts: TableState, n_groups: int):
+                def group(ts, _):
+                    (out, okall), _ = jax.lax.scan(
+                        block_nc, (ts, jnp.asarray(True)), None, length=GR
+                    )
+
+                    def redo(t0, o):
+                        del o
+
+                        def rb(t, _):
+                            return block_at(t, False), None
+
+                        t0, _ = jax.lax.scan(rb, t0, None, length=GR)
+                        return t0
+
+                    ts = jax.lax.cond(
+                        okall, lambda t0, o: o, redo, ts, out
+                    )
+                    return ts, None
+
+                ts, _ = jax.lax.scan(group, ts, None, length=n_groups)
+                return ts
+
+            def deferred_seg(ts: TableState) -> TableState:
+                ts = block_at(ts, True)
+                n_groups, rem = divmod(bps - 1, GR)
+                if n_groups:
+                    ts = deferred_groups(ts, n_groups)
+                if rem:
+                    def ublock(ts, _):
+                        return block_at(ts, False), None
+
+                    ts, _ = jax.lax.scan(ublock, ts, None, length=rem)
+                return ts
+
+            use_defer = bps - 1 >= GR and (k == 1 or unroll_blocks)
+
             def seg_body(ts: TableState, _):
                 if not (bps > 1 and use_mega):
+                    if use_defer:
+                        return deferred_seg(ts), None
                     return regular_seg(ts), None
                 tsp = mega_prefix(ts)
 

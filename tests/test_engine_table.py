@@ -209,6 +209,44 @@ def test_deferred_fallback_groups_bitwise():
         os.environ.pop("PBOT_MEGA", None)
 
 
+def test_deferred_fallback_groups_bitwise_batched():
+    """Batched twin of the deferred-group bitwise check: one scene gets a
+    >1-cell-per-window kick so every group's all-scenes ok fails and the
+    redo must reproduce the legacy batched schedule (exact fallback for
+    ALL scenes) exactly; without the kick every group adopts."""
+    import os
+
+    from particlerobotsimulations_tpu.engine_table import gate_seg
+    from particlerobotsimulations_tpu.parallel.sweep import make_batch_state
+
+    p = params_(n_cells=128, centroid_int=0.32, phase_update_interval=0.64)
+    assert gate_seg(p.validate()) == 32
+
+    os.environ["PBOT_MEGA"] = "0"
+    try:
+        run = make_run_chunk_table_batched(p)
+
+        def batch0(kick: float):
+            b = jax.vmap(jitter)(make_batch_state(p, seeds=[0, 1]))
+            if kick:
+                kickv = jnp.zeros_like(b.vel).at[1, 7, 0].set(kick)
+                b = b._replace(vel=b.vel + kickv)
+            return b
+
+        for kick in (0.0, 60.0):
+            legacy = run(batch0(kick), 70, False)
+            fast = run(batch0(kick), 70, True)
+            for field in ("pos", "vel", "rad", "phase", "centroid_ring"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(fast, field)),
+                    np.asarray(getattr(legacy, field)),
+                    err_msg=f"{field} kick={kick}",
+                )
+            assert int(fast.step[0]) == 70
+    finally:
+        os.environ.pop("PBOT_MEGA", None)
+
+
 def test_gate_seg_guards():
     from particlerobotsimulations_tpu.engine_table import gate_seg
 

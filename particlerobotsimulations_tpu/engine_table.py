@@ -52,6 +52,7 @@ from .ops.forces import (
 )
 from .ops.pallas_stencil import (
     FIELDS as KERNEL_FIELDS,
+    SPLIT_LO,
     _stencil_forces_pallas,
     assign_slots_slotmajor,
 )
@@ -343,7 +344,7 @@ def gate_seg(params: SimParams) -> int:
     return seg
 
 
-def make_table_step_parts(params: SimParams):
+def make_table_step_parts(params: SimParams, force_split=False):
     """(step_pre, step_post): the physics step split around the rebuild.
 
     ``step_pre`` runs dead injection, centroid ring, phase, radius and
@@ -353,7 +354,13 @@ def make_table_step_parts(params: SimParams):
     while the batched loop hoists the rebuild OUT of ``vmap`` so its
     incremental-vs-exact ``lax.cond`` keeps a scalar predicate (a batched
     predicate decays to a select that runs the expensive exact fallback
-    for every scene every rebuild)."""
+    for every scene every rebuild).
+
+    ``force_split`` selects the force-kernel slot mode (see
+    pallas_stencil._SPLIT_MODE): False = full-cap body; "lo" = lo-slots
+    -only speculative body, valid ONLY while no cell holds more than
+    SPLIT_LO bots — the deferred group schedule pairs it with per-rebuild
+    hi-occupancy checks and redoes on the full path otherwise."""
     params = params.validate()
     dt = params.timestep
     g, cap = params.resolved_grid_dim(), params.cell_capacity
@@ -454,7 +461,9 @@ def make_table_step_parts(params: SimParams):
         # edge_guarded: the table's anchoring invariant (EDGE_MARGIN plus
         # the rebuild's margin-1 fallback) keeps wrapped edge columns
         # empty, so the preshift can skip its x-wrap fix rolls
-        fx, fy, fa, fr = _stencil_forces_pallas(params, tables, True)
+        fx, fy, fa, fr = _stencil_forces_pallas(
+            params, tables, True, force_split
+        )
         pad = total_ext - force_total  # spill rows + parking get zero force
         zpad = jnp.zeros((pad,), f32)
         fxf = jnp.concatenate([fx.reshape(force_total), zpad])
@@ -729,27 +738,65 @@ def make_run_chunk_table(params: SimParams):
             # group from its entry state on the regular path.  Redo is
             # bitwise the regular trajectory (the re-run blocks take the
             # same deterministic incrementals, then the same exact
-            # fallback), and adopt is bitwise the cond-taken branch — so
-            # this schedule is bitwise-identical to the legacy one.
-            # Expected cost ~ 0.099*GR (redo) + 7.2/GR (cond) us/step at
-            # 10k -> GR ~ 7-10; 7 divides the default 49 ublocks evenly.
+            # fallback).  Expected cost ~ 0.099*GR (redo) + 7.2/GR (cond)
+            # us/step at 10k -> GR ~ 7-10; 7 divides the default 49
+            # ublocks evenly.
+            #
+            # On top of the deferred schedule the group blocks run the
+            # force kernel in "lo" mode — only the first SPLIT_LO slot
+            # rows pair up, (SPLIT_LO/cap)^2 of the VPU work — which is
+            # exact while no cell holds more than SPLIT_LO bots (measured
+            # max occupancy at reference density: 4).  Slot assignments
+            # only change at rebuilds, so hi-slot occupancy is a rebuild
+            # -time property: each group ANDs ~hi(entry table) and
+            # ~hi(every rebuilt table) into its ok and redoes the whole
+            # group on the full-cap path when a cell ever compresses past
+            # SPLIT_LO.  PBOT_LO=0 opts out (the deferred schedule is
+            # then bitwise-identical to the legacy per-block-cond one).
             GR = 7
+            import os as _os
+
+            use_lo = _os.environ.get("PBOT_LO", "1") != "0" and (
+                params.cell_capacity > SPLIT_LO
+                and params.cell_capacity % 8 == 0
+            )
+            step_post_nc = (
+                make_table_step_parts(params, force_split="lo")[1]
+                if use_lo
+                else step_post_f
+            )
+            gg_f = params.resolved_grid_dim() ** 2
+
+            def hi_occupied(fields) -> jax.Array:
+                """Any occupied slot row >= SPLIT_LO (force-visible only:
+                spill rows never exert pair forces on any path)."""
+                return jnp.any(
+                    fields["val"][SPLIT_LO * gg_f : params.cell_capacity * gg_f]
+                    > 0.5
+                )
+
+            def plain_nc(ts: TableState) -> TableState:
+                return step_post_nc(step_pre_f(ts, False, False, False))
+
+            def plain_nc_u(ts: TableState, _):
+                return plain_nc(ts), None
 
             def block_nc(carry, _):
                 """One k-step block whose rebuild is the unconditional
-                incremental (ok deferred to the group cond)."""
+                incremental (ok deferred to the group cond) and whose
+                force passes run the speculative lo-slot kernel."""
                 from .ops.table_rebuild import incremental_rebuild
 
                 ts, okacc = carry
                 if k > 1:
                     if unroll_body:
                         for j in range(k - 1):
-                            ts = step_at(ts, False, gated=False)
+                            ts = plain_nc(ts)
                     else:
-                        ts = step_at(ts, False, gated=False)
+                        ts = plain_nc(ts)
                         if k > 2:
                             ts, _ = jax.lax.scan(
-                                plain_u, ts, None, length=k - 2
+                                plain_nc_u, ts, None, length=k - 2
                             )
                 ts = step_pre_f(ts, False, False, False)
                 moved, ok = incremental_rebuild(
@@ -757,13 +804,20 @@ def make_run_chunk_table(params: SimParams):
                 )
                 f = dict(ts.fields)
                 f.update(moved)
+                if use_lo:
+                    ok = ok & ~hi_occupied(f)
                 ts = ts._replace(fields=_derived_rows(params, f))
-                return (step_post_f(ts), okacc & ok), None
+                return (step_post_nc(ts), okacc & ok), None
 
             def deferred_groups(ts: TableState, n_groups: int):
                 def group(ts, _):
+                    ok0 = (
+                        ~hi_occupied(ts.fields)
+                        if use_lo
+                        else jnp.asarray(True)
+                    )
                     (out, okall), _ = jax.lax.scan(
-                        block_nc, (ts, jnp.asarray(True)), None, length=GR
+                        block_nc, (ts, ok0), None, length=GR
                     )
                     def redo(t0, o):
                         del o

@@ -1132,9 +1132,37 @@ def make_run_chunk_table_batched(params: SimParams):
             # routes the whole batched TableState per block; groups of GR
             # blocks run every scene's incremental UNCONDITIONALLY, AND
             # the ok flags across scenes and blocks, and adopt-or-redo
-            # the group with ONE cond (bitwise-identical — see the
-            # single-scene deferred_seg).
+            # the group with ONE cond.  Group blocks also run the
+            # speculative lo-slot force kernel (see the single-scene
+            # deferred_seg): any scene's hi-slot occupancy at entry or at
+            # any rebuild redoes the group on the full-cap path.
             GR = 7
+            import os as _os
+
+            use_lo = _os.environ.get("PBOT_LO", "1") != "0" and (
+                params.cell_capacity > SPLIT_LO
+                and params.cell_capacity % 8 == 0
+            )
+            vpost_nc = (
+                jax.vmap(make_table_step_parts(params, force_split="lo")[1])
+                if use_lo
+                else vpost
+            )
+            gg_f = params.resolved_grid_dim() ** 2
+
+            def hi_occupied(fields) -> jax.Array:
+                return jnp.any(
+                    fields["val"][
+                        :, SPLIT_LO * gg_f : params.cell_capacity * gg_f
+                    ]
+                    > 0.5
+                )
+
+            def plain_nc(ts: TableState) -> TableState:
+                return vpost_nc(vpre(ts, False, False, False))
+
+            def plain_nc_u(ts: TableState, _):
+                return plain_nc(ts), None
 
             def block_nc(carry, _):
                 from .ops.table_rebuild import incremental_rebuild
@@ -1143,12 +1171,12 @@ def make_run_chunk_table_batched(params: SimParams):
                 if k > 1:
                     if unroll_body:
                         for j in range(k - 1):
-                            ts = step_at(ts, False, gated=False)
+                            ts = plain_nc(ts)
                     else:
-                        ts = step_at(ts, False, gated=False)
+                        ts = plain_nc(ts)
                         if k > 2:
                             ts, _ = jax.lax.scan(
-                                plain_u, ts, None, length=k - 2
+                                plain_nc_u, ts, None, length=k - 2
                             )
                 ts = vpre(ts, False, False, False)
                 moved, ok = jax.vmap(
@@ -1158,13 +1186,21 @@ def make_run_chunk_table_batched(params: SimParams):
                 )(ts.fields, ts.origin)
                 f = dict(ts.fields)
                 f.update(moved)
+                ok = jnp.all(ok)
+                if use_lo:
+                    ok = ok & ~hi_occupied(f)
                 ts = ts._replace(fields=_derived_rows(params, f))
-                return (vpost(ts), okacc & jnp.all(ok)), None
+                return (vpost_nc(ts), okacc & ok), None
 
             def deferred_groups(ts: TableState, n_groups: int):
                 def group(ts, _):
+                    ok0 = (
+                        ~hi_occupied(ts.fields)
+                        if use_lo
+                        else jnp.asarray(True)
+                    )
                     (out, okall), _ = jax.lax.scan(
-                        block_nc, (ts, jnp.asarray(True)), None, length=GR
+                        block_nc, (ts, ok0), None, length=GR
                     )
 
                     def redo(t0, o):

@@ -296,7 +296,8 @@ def test_deferred_fallback_groups_bitwise_batched():
     """Batched twin of the deferred-group bitwise check: one scene gets a
     >1-cell-per-window kick so every group's all-scenes ok fails and the
     redo must reproduce the legacy batched schedule (exact fallback for
-    ALL scenes) exactly; without the kick every group adopts."""
+    ALL scenes) exactly; without the kick every group adopts.  PBOT_LO=0
+    pins the full-cap kernel (the lo-mode twin asserts tolerance)."""
     import os
 
     from particlerobotsimulations_tpu.engine_table import gate_seg
@@ -306,6 +307,7 @@ def test_deferred_fallback_groups_bitwise_batched():
     assert gate_seg(p.validate()) == 32
 
     os.environ["PBOT_MEGA"] = "0"
+    os.environ["PBOT_LO"] = "0"
     try:
         run = make_run_chunk_table_batched(p)
 
@@ -326,6 +328,49 @@ def test_deferred_fallback_groups_bitwise_batched():
                     err_msg=f"{field} kick={kick}",
                 )
             assert int(fast.step[0]) == 70
+    finally:
+        os.environ.pop("PBOT_MEGA", None)
+        os.environ.pop("PBOT_LO", None)
+
+
+def test_deferred_lo_adopt_matches_full_batched():
+    """Batched lo-mode adopt: with the speculative lo-slot kernel ON (the
+    default) the batched deferred seg path agrees with the legacy batched
+    path to float32 reassociation on sparse blobs, and a kicked scene
+    (redo for all scenes) reproduces it bitwise."""
+    import os
+
+    from particlerobotsimulations_tpu.parallel.sweep import make_batch_state
+
+    p = params_(n_cells=128, centroid_int=0.32, phase_update_interval=0.64)
+    os.environ["PBOT_MEGA"] = "0"
+    try:
+        run = make_run_chunk_table_batched(p)
+
+        def batch0(kick: float = 0.0):
+            b = jax.vmap(jitter)(make_batch_state(p, seeds=[0, 1]))
+            if kick:
+                kickv = jnp.zeros_like(b.vel).at[1, 7, 0].set(kick)
+                b = b._replace(vel=b.vel + kickv)
+            return b
+
+        legacy = run(batch0(), 32, False)
+        fast = run(batch0(), 32, True)
+        np.testing.assert_allclose(
+            np.asarray(fast.pos), np.asarray(legacy.pos), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast.vel), np.asarray(legacy.vel), atol=2e-4
+        )
+
+        legacy = run(batch0(60.0), 70, False)
+        fast = run(batch0(60.0), 70, True)
+        for field in ("pos", "vel", "rad", "phase"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(fast, field)),
+                np.asarray(getattr(legacy, field)),
+                err_msg=field,
+            )
     finally:
         os.environ.pop("PBOT_MEGA", None)
 

@@ -549,6 +549,25 @@ def make_run_chunk_table(params: SimParams):
     k = max(1, params.slot_rebuild_steps)
     seg = gate_seg(params)
 
+    # speculative lo-slot force kernel (see pallas_stencil._SPLIT_MODE):
+    # the deferred groups / mega spans run it and their adopt-or-redo
+    # conds AND in per-rebuild hi-slot occupancy checks.  PBOT_LO=0 opts
+    # out (the deferred schedules are then bitwise the legacy ones).
+    import os as _os
+
+    use_lo = _os.environ.get("PBOT_LO", "1") != "0" and (
+        params.cell_capacity > SPLIT_LO and params.cell_capacity % 8 == 0
+    )
+    gg_f = params.resolved_grid_dim() ** 2
+
+    def hi_occupied(fields) -> jax.Array:
+        """Any occupied slot row >= SPLIT_LO (force-visible rows only:
+        spill rows never exert pair forces on any path)."""
+        return jnp.any(
+            fields["val"][SPLIT_LO * gg_f : params.cell_capacity * gg_f]
+            > 0.5
+        )
+
     # small-table megakernel: whole ungated rebuild-to-rebuild spans as
     # ONE pallas call (ops/megakernel.py) — removes the ~30-tiny-op
     # dispatch floor that dominates the step below ~4k bots.  Only the
@@ -565,7 +584,7 @@ def make_run_chunk_table(params: SimParams):
         g_m = params.resolved_grid_dim()
         cap_m = params.storage_capacity()
         s_sub = n_pad_m // 128
-        mega = make_mega_span(params, n_pad_m)
+        mega = make_mega_span(params, n_pad_m, lo=use_lo)
         step_pre_m, step_post_m = make_table_step_parts(params)
 
         def mega_pack(fields):
@@ -645,6 +664,13 @@ def make_run_chunk_table(params: SimParams):
                 ],
                 axis=0,
             )
+            if use_lo:
+                # val is plane 5; the lo span kernel is only exact while
+                # slot rows >= SPLIT_LO stay empty (adopt-or-redo decides
+                # at the segment cond)
+                ok = ok & ~jnp.any(
+                    new_tbl[5, SPLIT_LO : params.cell_capacity] > 0.5
+                )
             return new_tbl, ok
 
     # blocks of k steps whose LAST step rebuilds statically (no traced
@@ -754,26 +780,11 @@ def make_run_chunk_table(params: SimParams):
             # SPLIT_LO.  PBOT_LO=0 opts out (the deferred schedule is
             # then bitwise-identical to the legacy per-block-cond one).
             GR = 7
-            import os as _os
-
-            use_lo = _os.environ.get("PBOT_LO", "1") != "0" and (
-                params.cell_capacity > SPLIT_LO
-                and params.cell_capacity % 8 == 0
-            )
             step_post_nc = (
                 make_table_step_parts(params, force_split="lo")[1]
                 if use_lo
                 else step_post_f
             )
-            gg_f = params.resolved_grid_dim() ** 2
-
-            def hi_occupied(fields) -> jax.Array:
-                """Any occupied slot row >= SPLIT_LO (force-visible only:
-                spill rows never exert pair forces on any path)."""
-                return jnp.any(
-                    fields["val"][SPLIT_LO * gg_f : params.cell_capacity * gg_f]
-                    > 0.5
-                )
 
             def plain_nc(ts: TableState) -> TableState:
                 return step_post_nc(step_pre_f(ts, False, False, False))
@@ -883,9 +894,16 @@ def make_run_chunk_table(params: SimParams):
                         return (tb, s2, stp + k, okall & ok), None
 
                     tbl, strip = mega_pack(tsp.fields)
+                    # lo span kernel: the entry table must be hi-free too
+                    # (the first span's head post pairs on it)
+                    ok0 = (
+                        ~hi_occupied(tsp.fields)
+                        if use_lo
+                        else jnp.asarray(True)
+                    )
                     (tbl, strip, stp2, okall), _ = jax.lax.scan(
                         span_block,
-                        (tbl, strip, tsp.step + 1, jnp.asarray(True)),
+                        (tbl, strip, tsp.step + 1, ok0),
                         None,
                         length=bps - 1,
                     )
@@ -974,6 +992,22 @@ def make_run_chunk_table_batched(params: SimParams):
 
     seg = gate_seg(params)
 
+    # speculative lo-slot force kernel over the scene batch (see the
+    # single-scene loop): any scene's hi-slot occupancy redoes the group
+    # / segment on the full-cap path
+    import os as _os
+
+    use_lo = _os.environ.get("PBOT_LO", "1") != "0" and (
+        params.cell_capacity > SPLIT_LO and params.cell_capacity % 8 == 0
+    )
+    gg_f = params.resolved_grid_dim() ** 2
+
+    def hi_occupied(fields) -> jax.Array:
+        return jnp.any(
+            fields["val"][:, SPLIT_LO * gg_f : params.cell_capacity * gg_f]
+            > 0.5
+        )
+
     # batched megakernel: vmap the rebuild-to-rebuild span (one pallas
     # grid iteration per scene) and run the between-span rebuild with the
     # incremental-vs-exact cond OUTSIDE the vmap, mirroring
@@ -991,7 +1025,7 @@ def make_run_chunk_table_batched(params: SimParams):
         cap_m = params.storage_capacity()
         s_sub_m = n_pad_m // 128
         vmega = jax.vmap(
-            make_mega_span(params, n_pad_m), in_axes=(0, 0, None)
+            make_mega_span(params, n_pad_m, lo=use_lo), in_axes=(0, 0, None)
         )
 
         def mega_pack_b(fields):
@@ -1065,7 +1099,14 @@ def make_run_chunk_table_batched(params: SimParams):
                 ],
                 axis=1,
             )
-            return new_tbl, jnp.all(ok)
+            ok = jnp.all(ok)
+            if use_lo:
+                # val is plane 5 (scene axis leads); the lo span kernel
+                # needs slot rows >= SPLIT_LO empty in EVERY scene
+                ok = ok & ~jnp.any(
+                    new_tbl[:, 5, SPLIT_LO : params.cell_capacity] > 0.5
+                )
+            return new_tbl, ok
 
     @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=0)
     def run_chunk(
@@ -1137,26 +1178,11 @@ def make_run_chunk_table_batched(params: SimParams):
             # deferred_seg): any scene's hi-slot occupancy at entry or at
             # any rebuild redoes the group on the full-cap path.
             GR = 7
-            import os as _os
-
-            use_lo = _os.environ.get("PBOT_LO", "1") != "0" and (
-                params.cell_capacity > SPLIT_LO
-                and params.cell_capacity % 8 == 0
-            )
             vpost_nc = (
                 jax.vmap(make_table_step_parts(params, force_split="lo")[1])
                 if use_lo
                 else vpost
             )
-            gg_f = params.resolved_grid_dim() ** 2
-
-            def hi_occupied(fields) -> jax.Array:
-                return jnp.any(
-                    fields["val"][
-                        :, SPLIT_LO * gg_f : params.cell_capacity * gg_f
-                    ]
-                    > 0.5
-                )
 
             def plain_nc(ts: TableState) -> TableState:
                 return vpost_nc(vpre(ts, False, False, False))
@@ -1251,9 +1277,16 @@ def make_run_chunk_table_batched(params: SimParams):
                         return (tb, s2, stp + k, okall & ok), None
 
                     tbl, strip = mega_pack_b(tsp.fields)
+                    # lo span kernel: every scene's entry table must be
+                    # hi-free too (the first span's head post pairs on it)
+                    ok0 = (
+                        ~hi_occupied(tsp.fields)
+                        if use_lo
+                        else jnp.asarray(True)
+                    )
                     (tbl, strip, stp2, okall), _ = jax.lax.scan(
                         span_block,
-                        (tbl, strip, tsp.step[0] + 1, jnp.asarray(True)),
+                        (tbl, strip, tsp.step[0] + 1, ok0),
                         None,
                         length=bps - 1,
                     )

@@ -52,7 +52,6 @@ from .ops.forces import (
 )
 from .ops.pallas_stencil import (
     FIELDS as KERNEL_FIELDS,
-    SPLIT_LO,
     _stencil_forces_pallas,
     assign_slots_slotmajor,
 )
@@ -344,7 +343,7 @@ def gate_seg(params: SimParams) -> int:
     return seg
 
 
-def make_table_step_parts(params: SimParams, force_split=False):
+def make_table_step_parts(params: SimParams):
     """(step_pre, step_post): the physics step split around the rebuild.
 
     ``step_pre`` runs dead injection, centroid ring, phase, radius and
@@ -354,13 +353,7 @@ def make_table_step_parts(params: SimParams, force_split=False):
     while the batched loop hoists the rebuild OUT of ``vmap`` so its
     incremental-vs-exact ``lax.cond`` keeps a scalar predicate (a batched
     predicate decays to a select that runs the expensive exact fallback
-    for every scene every rebuild).
-
-    ``force_split`` selects the force-kernel slot mode (see
-    pallas_stencil._SPLIT_MODE): False = full-cap body; "lo" = lo-slots
-    -only speculative body, valid ONLY while no cell holds more than
-    SPLIT_LO bots — the deferred group schedule pairs it with per-rebuild
-    hi-occupancy checks and redoes on the full path otherwise."""
+    for every scene every rebuild)."""
     params = params.validate()
     dt = params.timestep
     g, cap = params.resolved_grid_dim(), params.cell_capacity
@@ -461,9 +454,7 @@ def make_table_step_parts(params: SimParams, force_split=False):
         # edge_guarded: the table's anchoring invariant (EDGE_MARGIN plus
         # the rebuild's margin-1 fallback) keeps wrapped edge columns
         # empty, so the preshift can skip its x-wrap fix rolls
-        fx, fy, fa, fr = _stencil_forces_pallas(
-            params, tables, True, force_split
-        )
+        fx, fy, fa, fr = _stencil_forces_pallas(params, tables, True)
         pad = total_ext - force_total  # spill rows + parking get zero force
         zpad = jnp.zeros((pad,), f32)
         fxf = jnp.concatenate([fx.reshape(force_total), zpad])
@@ -549,25 +540,6 @@ def make_run_chunk_table(params: SimParams):
     k = max(1, params.slot_rebuild_steps)
     seg = gate_seg(params)
 
-    # speculative lo-slot force kernel (see pallas_stencil._SPLIT_MODE):
-    # the deferred groups / mega spans run it and their adopt-or-redo
-    # conds AND in per-rebuild hi-slot occupancy checks.  PBOT_LO=0 opts
-    # out (the deferred schedules are then bitwise the legacy ones).
-    import os as _os
-
-    use_lo = _os.environ.get("PBOT_LO", "1") != "0" and (
-        params.cell_capacity > SPLIT_LO and params.cell_capacity % 8 == 0
-    )
-    gg_f = params.resolved_grid_dim() ** 2
-
-    def hi_occupied(fields) -> jax.Array:
-        """Any occupied slot row >= SPLIT_LO (force-visible rows only:
-        spill rows never exert pair forces on any path)."""
-        return jnp.any(
-            fields["val"][SPLIT_LO * gg_f : params.cell_capacity * gg_f]
-            > 0.5
-        )
-
     # small-table megakernel: whole ungated rebuild-to-rebuild spans as
     # ONE pallas call (ops/megakernel.py) — removes the ~30-tiny-op
     # dispatch floor that dominates the step below ~4k bots.  Only the
@@ -584,7 +556,7 @@ def make_run_chunk_table(params: SimParams):
         g_m = params.resolved_grid_dim()
         cap_m = params.storage_capacity()
         s_sub = n_pad_m // 128
-        mega = make_mega_span(params, n_pad_m, lo=use_lo)
+        mega = make_mega_span(params, n_pad_m)
         step_pre_m, step_post_m = make_table_step_parts(params)
 
         def mega_pack(fields):
@@ -664,13 +636,6 @@ def make_run_chunk_table(params: SimParams):
                 ],
                 axis=0,
             )
-            if use_lo:
-                # val is plane 5; the lo span kernel is only exact while
-                # slot rows >= SPLIT_LO stay empty (adopt-or-redo decides
-                # at the segment cond)
-                ok = ok & ~jnp.any(
-                    new_tbl[5, SPLIT_LO : params.cell_capacity] > 0.5
-                )
             return new_tbl, ok
 
     # blocks of k steps whose LAST step rebuilds statically (no traced
@@ -764,50 +729,27 @@ def make_run_chunk_table(params: SimParams):
             # group from its entry state on the regular path.  Redo is
             # bitwise the regular trajectory (the re-run blocks take the
             # same deterministic incrementals, then the same exact
-            # fallback).  Expected cost ~ 0.099*GR (redo) + 7.2/GR (cond)
-            # us/step at 10k -> GR ~ 7-10; 7 divides the default 49
-            # ublocks evenly.
-            #
-            # On top of the deferred schedule the group blocks run the
-            # force kernel in "lo" mode — only the first SPLIT_LO slot
-            # rows pair up, (SPLIT_LO/cap)^2 of the VPU work — which is
-            # exact while no cell holds more than SPLIT_LO bots (measured
-            # max occupancy at reference density: 4).  Slot assignments
-            # only change at rebuilds, so hi-slot occupancy is a rebuild
-            # -time property: each group ANDs ~hi(entry table) and
-            # ~hi(every rebuilt table) into its ok and redoes the whole
-            # group on the full-cap path when a cell ever compresses past
-            # SPLIT_LO.  PBOT_LO=0 opts out (the deferred schedule is
-            # then bitwise-identical to the legacy per-block-cond one).
+            # fallback), and adopt is bitwise the cond-taken branch — so
+            # this schedule is bitwise-identical to the legacy one.
+            # Expected cost ~ 0.099*GR (redo) + 7.2/GR (cond) us/step at
+            # 10k -> GR ~ 7-10; 7 divides the default 49 ublocks evenly.
             GR = 7
-            step_post_nc = (
-                make_table_step_parts(params, force_split="lo")[1]
-                if use_lo
-                else step_post_f
-            )
-
-            def plain_nc(ts: TableState) -> TableState:
-                return step_post_nc(step_pre_f(ts, False, False, False))
-
-            def plain_nc_u(ts: TableState, _):
-                return plain_nc(ts), None
 
             def block_nc(carry, _):
                 """One k-step block whose rebuild is the unconditional
-                incremental (ok deferred to the group cond) and whose
-                force passes run the speculative lo-slot kernel."""
+                incremental (ok deferred to the group cond)."""
                 from .ops.table_rebuild import incremental_rebuild
 
                 ts, okacc = carry
                 if k > 1:
                     if unroll_body:
                         for j in range(k - 1):
-                            ts = plain_nc(ts)
+                            ts = step_at(ts, False, gated=False)
                     else:
-                        ts = plain_nc(ts)
+                        ts = step_at(ts, False, gated=False)
                         if k > 2:
                             ts, _ = jax.lax.scan(
-                                plain_nc_u, ts, None, length=k - 2
+                                plain_u, ts, None, length=k - 2
                             )
                 ts = step_pre_f(ts, False, False, False)
                 moved, ok = incremental_rebuild(
@@ -815,20 +757,13 @@ def make_run_chunk_table(params: SimParams):
                 )
                 f = dict(ts.fields)
                 f.update(moved)
-                if use_lo:
-                    ok = ok & ~hi_occupied(f)
                 ts = ts._replace(fields=_derived_rows(params, f))
-                return (step_post_nc(ts), okacc & ok), None
+                return (step_post_f(ts), okacc & ok), None
 
             def deferred_groups(ts: TableState, n_groups: int):
                 def group(ts, _):
-                    ok0 = (
-                        ~hi_occupied(ts.fields)
-                        if use_lo
-                        else jnp.asarray(True)
-                    )
                     (out, okall), _ = jax.lax.scan(
-                        block_nc, (ts, ok0), None, length=GR
+                        block_nc, (ts, jnp.asarray(True)), None, length=GR
                     )
                     def redo(t0, o):
                         del o
@@ -894,16 +829,9 @@ def make_run_chunk_table(params: SimParams):
                         return (tb, s2, stp + k, okall & ok), None
 
                     tbl, strip = mega_pack(tsp.fields)
-                    # lo span kernel: the entry table must be hi-free too
-                    # (the first span's head post pairs on it)
-                    ok0 = (
-                        ~hi_occupied(tsp.fields)
-                        if use_lo
-                        else jnp.asarray(True)
-                    )
                     (tbl, strip, stp2, okall), _ = jax.lax.scan(
                         span_block,
-                        (tbl, strip, tsp.step + 1, ok0),
+                        (tbl, strip, tsp.step + 1, jnp.asarray(True)),
                         None,
                         length=bps - 1,
                     )
@@ -992,22 +920,6 @@ def make_run_chunk_table_batched(params: SimParams):
 
     seg = gate_seg(params)
 
-    # speculative lo-slot force kernel over the scene batch (see the
-    # single-scene loop): any scene's hi-slot occupancy redoes the group
-    # / segment on the full-cap path
-    import os as _os
-
-    use_lo = _os.environ.get("PBOT_LO", "1") != "0" and (
-        params.cell_capacity > SPLIT_LO and params.cell_capacity % 8 == 0
-    )
-    gg_f = params.resolved_grid_dim() ** 2
-
-    def hi_occupied(fields) -> jax.Array:
-        return jnp.any(
-            fields["val"][:, SPLIT_LO * gg_f : params.cell_capacity * gg_f]
-            > 0.5
-        )
-
     # batched megakernel: vmap the rebuild-to-rebuild span (one pallas
     # grid iteration per scene) and run the between-span rebuild with the
     # incremental-vs-exact cond OUTSIDE the vmap, mirroring
@@ -1025,7 +937,7 @@ def make_run_chunk_table_batched(params: SimParams):
         cap_m = params.storage_capacity()
         s_sub_m = n_pad_m // 128
         vmega = jax.vmap(
-            make_mega_span(params, n_pad_m, lo=use_lo), in_axes=(0, 0, None)
+            make_mega_span(params, n_pad_m), in_axes=(0, 0, None)
         )
 
         def mega_pack_b(fields):
@@ -1099,14 +1011,7 @@ def make_run_chunk_table_batched(params: SimParams):
                 ],
                 axis=1,
             )
-            ok = jnp.all(ok)
-            if use_lo:
-                # val is plane 5 (scene axis leads); the lo span kernel
-                # needs slot rows >= SPLIT_LO empty in EVERY scene
-                ok = ok & ~jnp.any(
-                    new_tbl[:, 5, SPLIT_LO : params.cell_capacity] > 0.5
-                )
-            return new_tbl, ok
+            return new_tbl, jnp.all(ok)
 
     @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=0)
     def run_chunk(
@@ -1173,22 +1078,9 @@ def make_run_chunk_table_batched(params: SimParams):
             # routes the whole batched TableState per block; groups of GR
             # blocks run every scene's incremental UNCONDITIONALLY, AND
             # the ok flags across scenes and blocks, and adopt-or-redo
-            # the group with ONE cond.  Group blocks also run the
-            # speculative lo-slot force kernel (see the single-scene
-            # deferred_seg): any scene's hi-slot occupancy at entry or at
-            # any rebuild redoes the group on the full-cap path.
+            # the group with ONE cond (bitwise-identical — see the
+            # single-scene deferred_seg).
             GR = 7
-            vpost_nc = (
-                jax.vmap(make_table_step_parts(params, force_split="lo")[1])
-                if use_lo
-                else vpost
-            )
-
-            def plain_nc(ts: TableState) -> TableState:
-                return vpost_nc(vpre(ts, False, False, False))
-
-            def plain_nc_u(ts: TableState, _):
-                return plain_nc(ts), None
 
             def block_nc(carry, _):
                 from .ops.table_rebuild import incremental_rebuild
@@ -1197,12 +1089,12 @@ def make_run_chunk_table_batched(params: SimParams):
                 if k > 1:
                     if unroll_body:
                         for j in range(k - 1):
-                            ts = plain_nc(ts)
+                            ts = step_at(ts, False, gated=False)
                     else:
-                        ts = plain_nc(ts)
+                        ts = step_at(ts, False, gated=False)
                         if k > 2:
                             ts, _ = jax.lax.scan(
-                                plain_nc_u, ts, None, length=k - 2
+                                plain_u, ts, None, length=k - 2
                             )
                 ts = vpre(ts, False, False, False)
                 moved, ok = jax.vmap(
@@ -1212,21 +1104,13 @@ def make_run_chunk_table_batched(params: SimParams):
                 )(ts.fields, ts.origin)
                 f = dict(ts.fields)
                 f.update(moved)
-                ok = jnp.all(ok)
-                if use_lo:
-                    ok = ok & ~hi_occupied(f)
                 ts = ts._replace(fields=_derived_rows(params, f))
-                return (vpost_nc(ts), okacc & ok), None
+                return (vpost(ts), okacc & jnp.all(ok)), None
 
             def deferred_groups(ts: TableState, n_groups: int):
                 def group(ts, _):
-                    ok0 = (
-                        ~hi_occupied(ts.fields)
-                        if use_lo
-                        else jnp.asarray(True)
-                    )
                     (out, okall), _ = jax.lax.scan(
-                        block_nc, (ts, ok0), None, length=GR
+                        block_nc, (ts, jnp.asarray(True)), None, length=GR
                     )
 
                     def redo(t0, o):
@@ -1277,16 +1161,9 @@ def make_run_chunk_table_batched(params: SimParams):
                         return (tb, s2, stp + k, okall & ok), None
 
                     tbl, strip = mega_pack_b(tsp.fields)
-                    # lo span kernel: every scene's entry table must be
-                    # hi-free too (the first span's head post pairs on it)
-                    ok0 = (
-                        ~hi_occupied(tsp.fields)
-                        if use_lo
-                        else jnp.asarray(True)
-                    )
                     (tbl, strip, stp2, okall), _ = jax.lax.scan(
                         span_block,
-                        (tbl, strip, tsp.step[0] + 1, ok0),
+                        (tbl, strip, tsp.step[0] + 1, jnp.asarray(True)),
                         None,
                         length=bps - 1,
                     )

@@ -72,7 +72,7 @@ from .forces import (
     friction_velocity_update_xy,
     obstacle_forces_xy,
 )
-from .pallas_stencil import OFFSETS, SPLIT_LO, _kernel_fields, _pair_block
+from .pallas_stencil import OFFSETS, _kernel_fields, _pair_block
 
 # row budget: G=16 at capacity 16 — the ONLY table size where the fused
 # span wins.  G=32 (gg=1024 lanes) needs ~31 MB of scoped VMEM for the
@@ -115,18 +115,11 @@ def _roll(x: jax.Array, shift: int, interpret: bool) -> jax.Array:
     return pltpu.roll(x, s, axis=x.ndim - 1)
 
 
-def _make_kernel(params: SimParams, interpret: bool, lo: bool = False):
+def _make_kernel(params: SimParams, interpret: bool):
     """Kernel body over full-table VMEM blocks.
 
     refs: scalars (1, 128) f32 [step0, head], tbl (N_TF, C, gg),
-    strip (N_TF, S, 128) -> tbl', strip'.
-
-    ``lo=True`` pair-evaluates only the first SPLIT_LO slot rows (1/4 of
-    the VPU pair work at cap=16) — exact only while no cell holds more
-    than SPLIT_LO bots; the caller pairs it with per-rebuild hi-slot
-    occupancy checks and redoes the segment on the full path otherwise
-    (engine_table seg_body, same contract as the big-table deferred-lo
-    groups)."""
+    strip (N_TF, S, 128) -> tbl', strip'."""
     from ..engine_table import TABLE_FIELDS
 
     p = params
@@ -158,14 +151,10 @@ def _make_kernel(params: SimParams, interpret: bool, lo: bool = False):
         )
         return integrate_xy(d)
 
-    cv = SPLIT_LO if lo else cap
-
     def pair_forces_tbl(f):
         """5-block Newton stencil on (C, gg) planes; preshift/realign as
         in-kernel flat lane rolls (edge-guarded: the table loop's anchoring
         invariant keeps wrapped edge columns empty, ops/pallas_stencil.py).
-        In lo mode only the first ``cv`` slot rows pair up; hi rows get
-        zero forces (they are guaranteed empty when the caller adopts).
         """
 
         def derive(d):
@@ -175,17 +164,14 @@ def _make_kernel(params: SimParams, interpret: bool, lo: bool = False):
                 d["afac"] = d["val"]
             return d
 
-        t = derive({k: f[k][:cv, None, :] for k in kfields})
-        acc = [jnp.zeros((cv, gg), f32) for _ in range(4)]
+        t = derive({k: f[k][:, None, :] for k in kfields})
+        acc = [jnp.zeros((cap, gg), f32) for _ in range(4)]
         for b, (dx, dy) in enumerate(OFFSETS):
             sft = (-(dy * g + dx)) % gg
             c = derive(
-                {
-                    k: _roll(f[k][:cv], sft, interpret)[None, :, :]
-                    for k in kfields
-                }
+                {k: _roll(f[k], sft, interpret)[None, :, :] for k in kfields}
             )
-            dfx, dfy, dfa, dfr = _pair_block(p, t, c, b == 0, cv)
+            dfx, dfy, dfa, dfr = _pair_block(p, t, c, b == 0, cap)
             acc[0] = acc[0] + jnp.sum(dfx, axis=1)
             acc[1] = acc[1] + jnp.sum(dfy, axis=1)
             acc[2] = acc[2] + jnp.sum(dfa, axis=1)
@@ -203,9 +189,6 @@ def _make_kernel(params: SimParams, interpret: bool, lo: bool = False):
                 acc[1] = acc[1] - _roll(jnp.sum(dfy, axis=0), back, interpret)
                 acc[2] = acc[2] + _roll(jnp.sum(dfa, axis=0), back, interpret)
                 acc[3] = acc[3] + _roll(jnp.sum(dfr, axis=0), back, interpret)
-        if cv < cap:
-            zpad = jnp.zeros((cap - cv, gg), f32)
-            acc = [jnp.concatenate([a, zpad], axis=0) for a in acc]
         return acc
 
     def post(d, s):
@@ -273,7 +256,7 @@ def _make_kernel(params: SimParams, interpret: bool, lo: bool = False):
     return kernel
 
 
-def make_mega_span(params: SimParams, n_pad: int, lo: bool = False):
+def make_mega_span(params: SimParams, n_pad: int):
     """Returns ``span(tbl, strip, step) -> (tbl', strip')``.
 
     tbl: (N_TF, C, G*G) f32 table planes; strip: (N_TF, n_pad//128, 128)
@@ -294,9 +277,7 @@ def make_mega_span(params: SimParams, n_pad: int, lo: bool = False):
     n_tf = len(TABLE_FIELDS)
     s_sub = n_pad // 128
     interpret = jax.default_backend() == "cpu"
-    if not (cap > SPLIT_LO and cap % 8 == 0):
-        lo = False
-    kernel = _make_kernel(p, interpret, lo)
+    kernel = _make_kernel(p, interpret)
 
     call = pl.pallas_call(
         kernel,

@@ -78,30 +78,6 @@ LANE_CHUNK = 128
 # copy).  Values produced are identical; env knob kept for A/B timing.
 _PRESHIFT_MODE = os.environ.get("PBOT_PRESHIFT", "flat")
 
-# Slot-split pair evaluation: the compaction rebuild ranks bots within
-# each cell, so slot rows >= SPLIT_LO are occupied ONLY where a cell
-# holds > SPLIT_LO bots — and at reference densities that never happens
-# (measured 10k/60k-step max occupancy: 4 bots/cell; the geometric
-# packing bound for non-overlapping min_radius disks in a 2*max_radius
-# cell is ~5).  A per-tile scalar-prefetch gate on hi-slot occupancy
-# anywhere in the tile's candidate window picks between a lo-slots-only
-# pair evaluation ((SPLIT_LO/cap)^2 of the VPU work) and the full-cap
-# body; empty slots contribute exact zeros, so both paths produce the
-# same sums up to XLA FMA-contraction ulps (measured: 1-ulp flips in the
-# magnet term only).  Modes (env knob PBOT_SPLIT for A/B):
-#   "0" / False -> full-cap body only (the default for standalone calls)
-#   "1" / True  -> per-tile gate between lo and full bodies (measured on
-#                  TPU at 10k: NO win over full — the second predicated
-#                  region defeats Mosaic's schedule; kept for A/B)
-#   "lo" -> UNCONDITIONAL lo-slots-only body: exact only while no cell
-#           exceeds SPLIT_LO bots; the table loop's deferred groups run
-#           it speculatively (passing "lo" explicitly) and redo on the
-#           full path when a rebuild reports hi-slot occupancy
-_SPLIT_MODE: object = {"1": True, "lo": "lo"}.get(
-    os.environ.get("PBOT_SPLIT", "0"), False
-)
-SPLIT_LO = 8
-
 
 def _lane_x(g: int, gg: int) -> jax.Array:
     """(gg,) int32: x coordinate of each flat cell lane (cell = y*G + x)."""
@@ -277,68 +253,29 @@ def _field_dicts(fields: tuple):
             d["afac"] = d["val"]
         return d
 
-    def tgt(stk, cv):
+    def tgt(stk):
         return derive(
-            {k: stk[0, j, :cv, :][:, None, :] for j, k in enumerate(fields)}
+            {k: stk[0, j, :, :][:, None, :] for j, k in enumerate(fields)}
         )
 
-    def cand(stk, b, cv):
+    def cand(stk, b):
         return derive(
-            {k: stk[b, j, :cv, :][None, :, :] for j, k in enumerate(fields)}
+            {k: stk[b, j, :, :][None, :, :] for j, k in enumerate(fields)}
         )
 
     return tgt, cand
 
 
-def _make_kernel(params: SimParams, fields: tuple = FIELDS, split: bool = False):
+def _make_kernel(params: SimParams, fields: tuple = FIELDS):
     cap = params.cell_capacity
     tgt_fields_of, cand_fields_of = _field_dicts(fields)
 
-    def eval_into(stk, acc_ref, racc_ref, cv: int):
-        """Pair-evaluate the first ``cv`` slot rows of every block and
-        write their acc/racc slices (rows >= cv stay zero)."""
-        t = tgt_fields_of(stk, cv)
-        l = stk.shape[-1]
-        acc = [jnp.zeros((cv, l), jnp.float32) for _ in range(4)]
-
-        for b in range(N_BLOCKS):
-            c = cand_fields_of(stk, b, cv)
-            dfx, dfy, dfa, dfr = _pair_block(params, t, c, b == 0, cv)
-            acc[0] = acc[0] + jnp.sum(dfx, axis=1)
-            acc[1] = acc[1] + jnp.sum(dfy, axis=1)
-            acc[2] = acc[2] + jnp.sum(dfa, axis=1)
-            acc[3] = acc[3] + jnp.sum(dfr, axis=1)
-            if b == 0:
-                # in-cell Newton reaction: the target-axis sum is
-                # already aligned to candidate slots of the SAME lane
-                acc[0] = acc[0] - jnp.sum(dfx, axis=0)
-                acc[1] = acc[1] - jnp.sum(dfy, axis=0)
-                acc[2] = acc[2] + jnp.sum(dfa, axis=0)
-                acc[3] = acc[3] + jnp.sum(dfr, axis=0)
-            else:
-                # Newton reaction on the candidates: sum over the TARGET
-                # axis lands values aligned to candidate slots; the cell
-                # offset is realigned outside the kernel.
-                racc_ref[b - 1, 0, :cv, :] = -jnp.sum(dfx, axis=0)
-                racc_ref[b - 1, 1, :cv, :] = -jnp.sum(dfy, axis=0)
-                racc_ref[b - 1, 2, :cv, :] = jnp.sum(dfa, axis=0)
-                racc_ref[b - 1, 3, :cv, :] = jnp.sum(dfr, axis=0)
-
-        acc_ref[0, :cv, :] = acc[0]
-        acc_ref[1, :cv, :] = acc[1]
-        acc_ref[2, :cv, :] = acc[2]
-        acc_ref[3, :cv, :] = acc[3]
-
     def kernel(occ_ref, stk, acc_ref, racc_ref):
-        # occ_ref: scalar-prefetch (2, n_tiles) — row 0: occupied-target
-        # count per lane tile.  The bbox-anchored grid still leaves ~2/3
-        # of lanes empty at auto-G (the margin for drift/expansion); a
-        # tile with no occupied TARGETS has no pairs and no reactions, so
-        # the whole VPU pair evaluation is skipped (zero targets => zero
-        # everything).  Row 1: occupied slot rows >= SPLIT_LO anywhere in
-        # the tile's candidate window (all N_BLOCKS pre-shifted blocks);
-        # zero wherever every window cell holds <= SPLIT_LO bots, which
-        # selects the lo-slots-only evaluation (see _SPLIT_MODE).
+        # occ_ref: scalar-prefetch (n_tiles,) — occupied-target count per
+        # lane tile.  The bbox-anchored grid still leaves ~2/3 of lanes
+        # empty at auto-G (the margin for drift/expansion); a tile with no
+        # occupied TARGETS has no pairs and no reactions, so the whole
+        # VPU pair evaluation is skipped (zero targets => zero everything).
         # stk: (N_BLOCKS, N_FIELDS, C, L) pre-shifted candidate blocks;
         # block 0 doubles as the targets.
         i = pl.program_id(0)
@@ -346,31 +283,45 @@ def _make_kernel(params: SimParams, fields: tuple = FIELDS, split: bool = False)
         acc_ref[...] = jnp.zeros_like(acc_ref)
         racc_ref[...] = jnp.zeros_like(racc_ref)
 
-        if split is True:
+        @pl.when(occ_ref[i] > 0)
+        def _():
+            t = tgt_fields_of(stk)
+            l = stk.shape[-1]
+            acc = [jnp.zeros((cap, l), jnp.float32) for _ in range(4)]
 
-            @pl.when((occ_ref[0, i] > 0) & (occ_ref[1, i] == 0))
-            def _():
-                eval_into(stk, acc_ref, racc_ref, SPLIT_LO)
+            for b in range(N_BLOCKS):
+                c = cand_fields_of(stk, b)
+                dfx, dfy, dfa, dfr = _pair_block(params, t, c, b == 0, cap)
+                acc[0] = acc[0] + jnp.sum(dfx, axis=1)
+                acc[1] = acc[1] + jnp.sum(dfy, axis=1)
+                acc[2] = acc[2] + jnp.sum(dfa, axis=1)
+                acc[3] = acc[3] + jnp.sum(dfr, axis=1)
+                if b == 0:
+                    # in-cell Newton reaction: the target-axis sum is
+                    # already aligned to candidate slots of the SAME lane
+                    acc[0] = acc[0] - jnp.sum(dfx, axis=0)
+                    acc[1] = acc[1] - jnp.sum(dfy, axis=0)
+                    acc[2] = acc[2] + jnp.sum(dfa, axis=0)
+                    acc[3] = acc[3] + jnp.sum(dfr, axis=0)
+                else:
+                    # Newton reaction on the candidates: sum over the TARGET
+                    # axis lands values aligned to candidate slots; the cell
+                    # offset is realigned outside the kernel.
+                    racc_ref[b - 1, 0, :, :] = -jnp.sum(dfx, axis=0)
+                    racc_ref[b - 1, 1, :, :] = -jnp.sum(dfy, axis=0)
+                    racc_ref[b - 1, 2, :, :] = jnp.sum(dfa, axis=0)
+                    racc_ref[b - 1, 3, :, :] = jnp.sum(dfr, axis=0)
 
-            @pl.when((occ_ref[0, i] > 0) & (occ_ref[1, i] > 0))
-            def _():
-                eval_into(stk, acc_ref, racc_ref, cap)
-
-        else:
-
-            @pl.when(occ_ref[0, i] > 0)
-            def _():
-                eval_into(
-                    stk, acc_ref, racc_ref,
-                    SPLIT_LO if split == "lo" else cap,
-                )
+            acc_ref[0, :, :] = acc[0]
+            acc_ref[1, :, :] = acc[1]
+            acc_ref[2, :, :] = acc[2]
+            acc_ref[3, :, :] = acc[3]
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
-def _stencil_forces_pallas(params: SimParams, tables, edge_guarded=False,
-                           split=None):
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _stencil_forces_pallas(params: SimParams, tables, edge_guarded=False):
     """tables: dict of (C, G*G) f32 arrays -> (fx, fy, fa, fr) (C, G*G).
 
     ``edge_guarded=True`` (the table loop) asserts the wrapped edge
@@ -379,17 +330,8 @@ def _stencil_forces_pallas(params: SimParams, tables, edge_guarded=False,
     rebuild's margin-1 fallback guard) — which lets the preshift/realign
     drop their x-wrap fix rolls (see _preshift_flat).  The per-bot collide
     path anchors at the bare bbox (edge columns may be occupied) and must
-    keep the exact wrap.
-
-    ``split=None`` resolves the slot-split mode from _SPLIT_MODE; callers
-    and tests pass False / True / "lo" explicitly (distinct jit cache
-    keys; see _SPLIT_MODE for the semantics — "lo" is exact only while no
-    cell holds more than SPLIT_LO bots)."""
+    keep the exact wrap."""
     g, cap = params.resolved_grid_dim(), params.cell_capacity
-    if split is None:
-        split = _SPLIT_MODE
-    if not (cap > SPLIT_LO and cap % 8 == 0):
-        split = False
     gg = g * g
     kfields = _kernel_fields(params)
     nf = len(kfields)
@@ -399,28 +341,24 @@ def _stencil_forces_pallas(params: SimParams, tables, edge_guarded=False,
     # (y, x) is table[(y+dy) % G, (x+dx) % G]
     # (measured: packing all fields into one roll per offset is a wash —
     # XLA already batches these)
-    # "lo" mode never reads slot rows >= SPLIT_LO: slice them off BEFORE
-    # the preshift so the roll traffic shrinks with the pair math (the
-    # force outputs stay full-cap with zeroed hi rows)
-    cv_in = SPLIT_LO if split == "lo" else cap
     if _PRESHIFT_MODE == "flat":
-        base = jnp.stack([tables[k][:cv_in] for k in kfields])  # (nf, cv, gg)
+        base = jnp.stack([tables[k] for k in kfields])  # (nf, C, gg)
         stk = jnp.stack(
             [_preshift_flat(base, g, dx, dy, wrap_fix) for dx, dy in OFFSETS]
-        )  # (N_BLOCKS, nf, cv, G*G)
+        )  # (N_BLOCKS, nf, C, G*G)
     else:
         blocks = []
         for dx, dy in OFFSETS:
             fields = []
             for k in kfields:
-                x = tables[k][:cv_in].reshape(cv_in, g, g)  # (C, G_y, G_x)
+                x = tables[k].reshape(cap, g, g)  # (C, G_y, G_x)
                 if dx or dy:
                     x = jnp.roll(x, (-dy, -dx), axis=(1, 2))
-                fields.append(x.reshape(cv_in, gg))
+                fields.append(x.reshape(cap, gg))
             blocks.append(jnp.stack(fields))
-        stk = jnp.stack(blocks)  # (N_BLOCKS, nf, cv, G*G)
+        stk = jnp.stack(blocks)  # (N_BLOCKS, nf, C, G*G)
 
-    kernel = _make_kernel(params, kfields, split)
+    kernel = _make_kernel(params, kfields)
     # largest lane-chunk <= LANE_CHUNK that divides G*G and keeps 128-lane
     # tiling (G*G is always a multiple of 128 since G % 16 == 0)
     chunk = min(LANE_CHUNK, gg)
@@ -434,27 +372,13 @@ def _stencil_forces_pallas(params: SimParams, tables, edge_guarded=False,
     occ = jnp.sum(
         tables["val"].reshape(cap, gg // chunk, chunk), axis=(0, 2)
     ).astype(jnp.int32)
-    if split is True:
-        # occupied slot rows >= SPLIT_LO anywhere in the tile's candidate
-        # window: computed on the pre-shifted stack so every block's lanes
-        # are already target-tile aligned (rad > 0 <=> occupied)
-        rad_j = kfields.index("rad")
-        hi = jnp.sum(
-            (stk[:, rad_j, SPLIT_LO:, :] > 0)
-            .reshape(N_BLOCKS, cap - SPLIT_LO, gg // chunk, chunk)
-            .astype(jnp.int32),
-            axis=(0, 1, 3),
-        )
-    else:
-        hi = jnp.zeros_like(occ)
-    occ = jnp.stack([occ, hi])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (N_BLOCKS, nf, cv_in, chunk),
+                (N_BLOCKS, nf, cap, chunk),
                 lambda i, occ: (0, 0, 0, i),
                 memory_space=pltpu.VMEM,
             )
@@ -465,7 +389,7 @@ def _stencil_forces_pallas(params: SimParams, tables, edge_guarded=False,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (N_BLOCKS - 1, 4, cv_in, chunk),
+                (N_BLOCKS - 1, 4, cap, chunk),
                 lambda i, occ: (0, 0, 0, i),
                 memory_space=pltpu.VMEM,
             ),
@@ -476,29 +400,21 @@ def _stencil_forces_pallas(params: SimParams, tables, edge_guarded=False,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((4, cap, gg), jnp.float32),
-            jax.ShapeDtypeStruct((N_BLOCKS - 1, 4, cv_in, gg), jnp.float32),
+            jax.ShapeDtypeStruct((N_BLOCKS - 1, 4, cap, gg), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
     )(occ, stk)
 
     # realign reactions: a reaction computed for candidates of block (dx, dy)
     # belongs at cell (y+dy, x+dx)
-    def realign(bi, dx, dy):
+    total = acc
+    for bi, (dx, dy) in enumerate(OFFSETS[1:]):
         if _PRESHIFT_MODE == "flat":
-            return _realign_flat(racc[bi], g, dx, dy, wrap_fix)
-        r = racc[bi].reshape(4, cv_in, g, g)
-        r = jnp.roll(r, (dy, dx), axis=(2, 3))
-        return r.reshape(4, cv_in, gg)
-
-    if cv_in == cap:
-        total = acc
-        for bi, (dx, dy) in enumerate(OFFSETS[1:]):
-            total = total + realign(bi, dx, dy)
-    else:
-        rtot = realign(0, *OFFSETS[1])
-        for bi, (dx, dy) in enumerate(OFFSETS[2:], start=1):
-            rtot = rtot + realign(bi, dx, dy)
-        total = acc.at[:, :cv_in, :].add(rtot)
+            total = total + _realign_flat(racc[bi], g, dx, dy, wrap_fix)
+        else:
+            r = racc[bi].reshape(4, cap, g, g)
+            r = jnp.roll(r, (dy, dx), axis=(2, 3))
+            total = total + r.reshape(4, cap, gg)
     return total[0], total[1], total[2], total[3]
 
 

@@ -170,10 +170,7 @@ def test_deferred_fallback_groups_bitwise():
     cond-taken incremental, and a redo re-runs the group through the
     regular blocks, reproducing the same deterministic incrementals and
     the same exact fallback.  PBOT_MEGA=0 keeps the small table on the
-    non-mega deferred path (the megakernel is a different program);
-    PBOT_LO=0 keeps the group blocks on the full-cap force kernel (the
-    speculative lo-slot kernel differs by FMA-contraction ulps — covered
-    by test_deferred_lo_*)."""
+    non-mega deferred path (the megakernel is a different program)."""
     import os
 
     from particlerobotsimulations_tpu.engine_table import gate_seg
@@ -183,7 +180,6 @@ def test_deferred_fallback_groups_bitwise():
     assert gate_seg(p.validate()) == 32
 
     os.environ["PBOT_MEGA"] = "0"
-    os.environ["PBOT_LO"] = "0"
     try:
         run = make_run_chunk_table(p)
 
@@ -211,93 +207,13 @@ def test_deferred_fallback_groups_bitwise():
             assert int(fast.step) == 70
     finally:
         os.environ.pop("PBOT_MEGA", None)
-        os.environ.pop("PBOT_LO", None)
-
-
-def test_deferred_lo_adopt_matches_full():
-    """With the speculative lo-slot force kernel ON (the default), the
-    deferred seg path must agree with the legacy full-cap path to float32
-    reassociation on a sparse blob (no cell ever holds > SPLIT_LO bots, so
-    every group adopts its lo-kernel trajectory).  Short horizon: the
-    kernels differ by 1-ulp FMA flips which chaotic contact dynamics
-    amplify exponentially."""
-    import os
-
-    p = params_(n_cells=128, centroid_int=0.32, phase_update_interval=0.64)
-    os.environ["PBOT_MEGA"] = "0"
-    try:
-        run = make_run_chunk_table(p)
-        legacy = run(jitter(Simulation(p).state), 32, False)
-        fast = run(jitter(Simulation(p).state), 32, True)
-    finally:
-        os.environ.pop("PBOT_MEGA", None)
-    np.testing.assert_allclose(
-        np.asarray(fast.pos), np.asarray(legacy.pos), atol=2e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(fast.vel), np.asarray(legacy.vel), atol=2e-4
-    )
-    np.testing.assert_allclose(
-        np.asarray(fast.rad), np.asarray(legacy.rad), atol=2e-5
-    )
-
-
-def test_deferred_lo_hi_occupancy_redoes():
-    """A cell compressed past SPLIT_LO bots invalidates the lo kernel;
-    the group's hi-occupancy check must force the redo path, whose
-    trajectory is BITWISE the legacy one.  (If the check failed to fire,
-    the adopted lo trajectory would be missing every hi-slot pair force
-    and the comparison would diverge immediately.)"""
-    import os
-
-    import jax.numpy as jnp
-
-    from particlerobotsimulations_tpu.ops.pallas_stencil import SPLIT_LO
-
-    p = params_(n_cells=128, centroid_int=0.32, phase_update_interval=0.64)
-    pv = p.validate()
-    cs = pv.cell_size()
-
-    def state0():
-        # cram SPLIT_LO + 4 bots into one cell near the blob center (deep
-        # DEM overlap -> huge forces, but exactness is all that matters
-        # here); fresh per call — run_chunk donates its input
-        st = jitter(Simulation(p).state)
-        cx, cy = [float(v) for v in np.asarray(st.pos[:128]).mean(axis=0)]
-        cx = cs * np.floor(cx / cs) + 0.5 * cs
-        cy = cs * np.floor(cy / cs) + 0.5 * cs
-        tight = np.stack(
-            [
-                cx + 0.3 * cs * np.cos(np.linspace(0, 6.0, SPLIT_LO + 4)),
-                cy + 0.3 * cs * np.sin(np.linspace(0, 6.0, SPLIT_LO + 4)),
-            ],
-            axis=-1,
-        ).astype(np.float32)
-        pos = np.asarray(st.pos).copy()
-        pos[: SPLIT_LO + 4] = tight
-        return st._replace(pos=jnp.asarray(pos), vel=jnp.zeros_like(st.vel))
-
-    os.environ["PBOT_MEGA"] = "0"
-    try:
-        run = make_run_chunk_table(p)
-        legacy = run(state0(), 70, False)
-        fast = run(state0(), 70, True)
-    finally:
-        os.environ.pop("PBOT_MEGA", None)
-    for field in ("pos", "vel", "rad", "phase"):
-        np.testing.assert_array_equal(
-            np.asarray(getattr(fast, field)),
-            np.asarray(getattr(legacy, field)),
-            err_msg=field,
-        )
 
 
 def test_deferred_fallback_groups_bitwise_batched():
     """Batched twin of the deferred-group bitwise check: one scene gets a
     >1-cell-per-window kick so every group's all-scenes ok fails and the
     redo must reproduce the legacy batched schedule (exact fallback for
-    ALL scenes) exactly; without the kick every group adopts.  PBOT_LO=0
-    pins the full-cap kernel (the lo-mode twin asserts tolerance)."""
+    ALL scenes) exactly; without the kick every group adopts."""
     import os
 
     from particlerobotsimulations_tpu.engine_table import gate_seg
@@ -307,7 +223,6 @@ def test_deferred_fallback_groups_bitwise_batched():
     assert gate_seg(p.validate()) == 32
 
     os.environ["PBOT_MEGA"] = "0"
-    os.environ["PBOT_LO"] = "0"
     try:
         run = make_run_chunk_table_batched(p)
 
@@ -328,49 +243,6 @@ def test_deferred_fallback_groups_bitwise_batched():
                     err_msg=f"{field} kick={kick}",
                 )
             assert int(fast.step[0]) == 70
-    finally:
-        os.environ.pop("PBOT_MEGA", None)
-        os.environ.pop("PBOT_LO", None)
-
-
-def test_deferred_lo_adopt_matches_full_batched():
-    """Batched lo-mode adopt: with the speculative lo-slot kernel ON (the
-    default) the batched deferred seg path agrees with the legacy batched
-    path to float32 reassociation on sparse blobs, and a kicked scene
-    (redo for all scenes) reproduces it bitwise."""
-    import os
-
-    from particlerobotsimulations_tpu.parallel.sweep import make_batch_state
-
-    p = params_(n_cells=128, centroid_int=0.32, phase_update_interval=0.64)
-    os.environ["PBOT_MEGA"] = "0"
-    try:
-        run = make_run_chunk_table_batched(p)
-
-        def batch0(kick: float = 0.0):
-            b = jax.vmap(jitter)(make_batch_state(p, seeds=[0, 1]))
-            if kick:
-                kickv = jnp.zeros_like(b.vel).at[1, 7, 0].set(kick)
-                b = b._replace(vel=b.vel + kickv)
-            return b
-
-        legacy = run(batch0(), 32, False)
-        fast = run(batch0(), 32, True)
-        np.testing.assert_allclose(
-            np.asarray(fast.pos), np.asarray(legacy.pos), atol=2e-5
-        )
-        np.testing.assert_allclose(
-            np.asarray(fast.vel), np.asarray(legacy.vel), atol=2e-4
-        )
-
-        legacy = run(batch0(60.0), 70, False)
-        fast = run(batch0(60.0), 70, True)
-        for field in ("pos", "vel", "rad", "phase"):
-            np.testing.assert_array_equal(
-                np.asarray(getattr(fast, field)),
-                np.asarray(getattr(legacy, field)),
-                err_msg=field,
-            )
     finally:
         os.environ.pop("PBOT_MEGA", None)
 

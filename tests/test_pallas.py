@@ -137,93 +137,3 @@ def test_ext_nonnewton_kernel_matches_newton():
     out = stencil_forces_pallas_ext(p, ext, H, gg)
     for a, b in zip(ref, out):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
-
-
-def _tables_from_pos(p, pos_np, vel_np=None):
-    """Build the (C, G*G) table planes from positions (kernel-input path
-    of the table loop, minus the engine)."""
-    from particlerobotsimulations_tpu.ops.pallas_stencil import FIELDS
-
-    n_pad = pos_np.shape[0]
-    pos = jnp.asarray(pos_np)
-    vel = jnp.asarray(
-        vel_np if vel_np is not None else np.zeros((n_pad, 2), np.float32)
-    )
-    rad = jnp.full((n_pad,), 0.0775, jnp.float32)
-    mask = jnp.asarray(np.isfinite(pos_np).all(axis=1) & (pos_np[:, 0] < 1e5))
-    g, cap = p.resolved_grid_dim(), p.cell_capacity
-    gg = g * g
-    slot, overflow = assign_slots_slotmajor(p, pos, mask)
-    assert int(overflow) == 0
-    rows = jnp.stack(
-        [pos[:, 0], pos[:, 1], vel[:, 0], vel[:, 1], rad,
-         mask.astype(jnp.float32), jnp.ones((n_pad,))], -1,
-    )
-    tbl = jnp.zeros((gg * cap, 7), jnp.float32).at[slot].set(rows, mode="drop")
-    planes = tbl.reshape(cap, gg, 7)
-    return {k: planes[:, :, j] for j, k in enumerate(FIELDS)}
-
-
-def test_slot_split_kernel_ab():
-    """The slot-split gate (lo-slot fast path, see _SPLIT_MODE) is exact
-    in exact arithmetic: empty hi slots contribute exact zeros.  In
-    float32 the two compiled programs differ only by XLA FMA-contraction
-    choices (measured: 1-ulp flips in the magnet term on 9/4096 entries),
-    so assert to ~2 ulp — on a sparse cloud (every tile takes the lo fast
-    path) and on a synthetic > SPLIT_LO bots-per-cell cluster (its tile
-    takes the full-cap body)."""
-    from particlerobotsimulations_tpu.ops.pallas_stencil import (
-        SPLIT_LO,
-        _stencil_forces_pallas,
-    )
-
-    p = SimParams(n_dead=0, grid_dim=16, cell_capacity=16).validate()
-    cs = p.cell_size()
-
-    # case A: sparse cloud — no cell exceeds SPLIT_LO bots
-    rng = np.random.default_rng(5)
-    n, n_pad = 96, 128
-    pos = np.full((n_pad, 2), 1e6, np.float32)
-    pos[:n] = rng.uniform(-1.2, 1.2, (n, 2)).astype(np.float32)
-
-    # case B: 12 bots packed inside ONE cell (deep DEM overlap), plus a
-    # sparse ring around it — exercises the full-cap slow path
-    pos_b = np.full((n_pad, 2), 1e6, np.float32)
-    pos_b[:12] = (
-        np.asarray([0.3 * cs, 0.3 * cs], np.float32)
-        + rng.uniform(0, 0.4 * cs, (12, 2)).astype(np.float32)
-    )
-    ang = np.linspace(0, 2 * np.pi, 20, endpoint=False)
-    pos_b[12:32] = np.stack(
-        [0.5 * cs + 2.5 * cs * np.cos(ang), 0.5 * cs + 2.5 * cs * np.sin(ang)],
-        axis=-1,
-    ).astype(np.float32)
-
-    for pos_np in (pos, pos_b):
-        tables = _tables_from_pos(p, pos_np)
-        ref = _stencil_forces_pallas(p, tables, False, False)
-        out = _stencil_forces_pallas(p, tables, False, True)
-        for a, b in zip(ref, out):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=5e-7, atol=1e-9
-            )
-
-    # "lo" (unconditional lo-slots body): equal on the sparse cloud, and
-    # MUST drop the hi-slot pairs on the dense cluster (that asymmetry is
-    # what the table loop's deferred hi-occupancy check guards against)
-    tables_a = _tables_from_pos(p, pos)
-    ref_a = _stencil_forces_pallas(p, tables_a, False, False)
-    lo_a = _stencil_forces_pallas(p, tables_a, False, "lo")
-    for a, b in zip(ref_a, lo_a):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=5e-7, atol=1e-9
-        )
-
-    # sanity: case B really has hi-slot occupancy (slow-path coverage)
-    tables_b = _tables_from_pos(p, pos_b)
-    assert float(jnp.sum(tables_b["val"][SPLIT_LO:])) > 0
-    ref_b = _stencil_forces_pallas(p, tables_b, False, False)
-    lo_b = _stencil_forces_pallas(p, tables_b, False, "lo")
-    assert not np.allclose(
-        np.asarray(ref_b[0]), np.asarray(lo_b[0]), atol=1e-6
-    )

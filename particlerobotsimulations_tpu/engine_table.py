@@ -44,12 +44,12 @@ import jax
 import jax.numpy as jnp
 
 from .config import Control, SimParams, padded_n
-from .ops.actuation import update_radius
 from .ops.forces import (
     attraction_scale,
     friction_velocity_update_xy,
     obstacle_forces,
 )
+from .ops.integrate import radius_integrate_planes
 from .ops.pallas_stencil import (
     FIELDS as KERNEL_FIELDS,
     _stencil_forces_pallas,
@@ -343,6 +343,93 @@ def gate_seg(params: SimParams) -> int:
     return seg
 
 
+def _make_deferred_seg(
+    k: int,
+    unroll_body: bool,
+    scan_unroll: int,
+    step_at,      # (ts, rebuild_gate, gated=...) -> ts
+    plain_u,      # gateless scan body
+    pre_nc,       # (ts) -> ts — step_pre with all gates statically off
+    rebuild_nc,   # (ts) -> (ts, ok) — UNCONDITIONAL incremental rebuild
+    post_nc,      # (ts) -> ts — step_post
+    block_at,     # (ts, first_gated) -> ts — regular k-step rebuild block
+):
+    """(GR, deferred_seg) — the deferred-fallback group schedule shared by
+    the single-scene and batched seg loops.
+
+    The per-block incremental-vs-exact rebuild cond costs ~7.2 us/step at
+    10k (its operands route the whole ~30 MB TableState per rebuild,
+    defeating buffer reuse) while exact fallbacks fire ~once per 4000
+    steps (measured 15/15000 rebuilds).  Groups of GR blocks run the
+    incremental UNCONDITIONALLY and AND the ok flags; ONE cond per group
+    adopts the group or redoes it from its entry state on the regular
+    ``block_at`` path.  Redo is bitwise the regular trajectory (the
+    re-run blocks take the same deterministic incrementals, then the same
+    exact fallback), and adopt is bitwise the cond-taken branch — so the
+    schedule is bitwise-identical to the legacy per-block-cond one.
+    Expected cost ~ 0.099*GR (redo) + 7.2/GR (cond) us/step at 10k ->
+    GR ~ 7-10; 7 divides the default 49 ublocks evenly.
+
+    The loops differ only in the injected hooks (vmapped pre/post and an
+    all-scenes ok reduction on the batched path)."""
+    GR = 7
+
+    def block_nc(carry, _):
+        """One k-step block whose rebuild is the unconditional
+        incremental (ok deferred to the group cond)."""
+        ts, okacc = carry
+        if k > 1:
+            if unroll_body:
+                for j in range(k - 1):
+                    ts = step_at(ts, False, gated=False)
+            else:
+                ts = step_at(ts, False, gated=False)
+                if k > 2:
+                    ts, _ = jax.lax.scan(plain_u, ts, None, length=k - 2)
+        ts = pre_nc(ts)
+        ts, ok = rebuild_nc(ts)
+        return (post_nc(ts), okacc & ok), None
+
+    def deferred_groups(ts: TableState, n_groups: int):
+        def group(ts, _):
+            (out, okall), _ = jax.lax.scan(
+                block_nc, (ts, jnp.asarray(True)), None, length=GR
+            )
+
+            def redo(t0, o):
+                del o
+
+                def rb(t, _):
+                    return block_at(t, False), None
+
+                t0, _ = jax.lax.scan(rb, t0, None, length=GR)
+                return t0
+
+            ts = jax.lax.cond(okall, lambda t0, o: o, redo, ts, out)
+            return ts, None
+
+        ts, _ = jax.lax.scan(group, ts, None, length=n_groups)
+        return ts
+
+    def deferred_seg(ts: TableState, bps: int) -> TableState:
+        """regular_seg with the ublocks' rebuild conds deferred to one
+        cond per GR-block group; bitwise-identical schedule."""
+        ts = block_at(ts, True)
+        n_groups, rem = divmod(bps - 1, GR)
+        if n_groups:
+            ts = deferred_groups(ts, n_groups)
+        if rem:
+            def ublock(ts, _):
+                return block_at(ts, False), None
+
+            ts, _ = jax.lax.scan(
+                ublock, ts, None, length=rem, unroll=scan_unroll
+            )
+        return ts
+
+    return GR, deferred_seg
+
+
 def make_table_step_parts(params: SimParams):
     """(step_pre, step_post): the physics step split around the rebuild.
 
@@ -423,22 +510,11 @@ def make_table_step_parts(params: SimParams):
 
             f["phase"] = jax.lax.cond(phase_gate, do_phase, lambda: f["phase"])
 
-        # 4. radius controller (previous step's force magnitudes)
-        f["rad"] = update_radius(
-            params, f["rad"], f["phase"], f["aa"], f["ar"],
-            f["dead"] > 0.5, val, time, dt,
-        )
-
-        # 5. integrate + boundary (component form: the flat px/py planes
-        #    never interleave into (n, 2) on the per-step path)
-        hi = f32(params.world_half) - f["rad"]
-        lo = -f32(params.world_half) + f["rad"]
-        bd = f32(params.boundary_damping)
-        for c, v in (("px", "vx"), ("py", "vy")):
-            new_p = f[c] + f[v] * f32(dt)
-            out = (new_p > hi) | (new_p < lo)
-            f[c] = jnp.clip(new_p, lo, hi)
-            f[v] = jnp.where(out, f[v] * bd, f[v])
+        # 4+5. radius controller (previous step's force magnitudes) +
+        #    integrate/boundary in component form (the flat px/py planes
+        #    never interleave into (n, 2) on the per-step path) — shared
+        #    with the megakernel's in-kernel pre
+        f = radius_integrate_planes(params, f, time)
 
         return ts._replace(fields=f, centroid_ring=ring)
 
@@ -557,7 +633,6 @@ def make_run_chunk_table(params: SimParams):
         cap_m = params.storage_capacity()
         s_sub = n_pad_m // 128
         mega = make_mega_span(params, n_pad_m)
-        step_pre_m, step_post_m = make_table_step_parts(params)
 
         def mega_pack(fields):
             tbl = jnp.stack(
@@ -704,7 +779,7 @@ def make_run_chunk_table(params: SimParams):
                     if k == 1
                     else (False, False, False)
                 )
-                ts = step_pre_m(ts, *g_pre)
+                ts = step_pre_f(ts, *g_pre)
                 return _smart_rebuild(params, ts)
 
             def regular_seg(ts: TableState) -> TableState:
@@ -719,91 +794,27 @@ def make_run_chunk_table(params: SimParams):
                     )
                 return ts
 
-            # deferred-fallback group size for the non-mega seg path: the
-            # _smart_rebuild incremental-vs-exact cond costs ~7.2 us/step
-            # at 10k (its operands route the whole ~30 MB TableState per
-            # rebuild, defeating buffer reuse), while exact fallbacks
-            # fire ~once per 4000 steps (measured 15/15000 rebuilds).
-            # Groups of GR blocks run the incremental UNCONDITIONALLY and
-            # AND the ok flags; one cond per group adopts or redoes the
-            # group from its entry state on the regular path.  Redo is
-            # bitwise the regular trajectory (the re-run blocks take the
-            # same deterministic incrementals, then the same exact
-            # fallback), and adopt is bitwise the cond-taken branch — so
-            # this schedule is bitwise-identical to the legacy one.
-            # Expected cost ~ 0.099*GR (redo) + 7.2/GR (cond) us/step at
-            # 10k -> GR ~ 7-10; 7 divides the default 49 ublocks evenly.
-            GR = 7
-
-            def block_nc(carry, _):
-                """One k-step block whose rebuild is the unconditional
-                incremental (ok deferred to the group cond)."""
+            def rebuild_nc(ts: TableState):
                 from .ops.table_rebuild import incremental_rebuild
 
-                ts, okacc = carry
-                if k > 1:
-                    if unroll_body:
-                        for j in range(k - 1):
-                            ts = step_at(ts, False, gated=False)
-                    else:
-                        ts = step_at(ts, False, gated=False)
-                        if k > 2:
-                            ts, _ = jax.lax.scan(
-                                plain_u, ts, None, length=k - 2
-                            )
-                ts = step_pre_f(ts, False, False, False)
                 moved, ok = incremental_rebuild(
                     params, ts.fields, MOVE_FIELDS, ts.origin
                 )
                 f = dict(ts.fields)
                 f.update(moved)
-                ts = ts._replace(fields=_derived_rows(params, f))
-                return (step_post_f(ts), okacc & ok), None
+                return ts._replace(fields=_derived_rows(params, f)), ok
 
-            def deferred_groups(ts: TableState, n_groups: int):
-                def group(ts, _):
-                    (out, okall), _ = jax.lax.scan(
-                        block_nc, (ts, jnp.asarray(True)), None, length=GR
-                    )
-                    def redo(t0, o):
-                        del o
-                        def rb(t, _):
-                            return block_at(t, False), None
-
-                        t0, _ = jax.lax.scan(rb, t0, None, length=GR)
-                        return t0
-
-                    ts = jax.lax.cond(
-                        okall, lambda t0, o: o, redo, ts, out
-                    )
-                    return ts, None
-
-                ts, _ = jax.lax.scan(group, ts, None, length=n_groups)
-                return ts
-
-            def deferred_seg(ts: TableState) -> TableState:
-                """regular_seg with the ublocks' rebuild conds deferred to
-                one cond per GR-block group; bitwise-identical schedule."""
-                ts = block_at(ts, True)
-                n_groups, rem = divmod(bps - 1, GR)
-                if n_groups:
-                    ts = deferred_groups(ts, n_groups)
-                if rem:
-                    def ublock(ts, _):
-                        return block_at(ts, False), None
-
-                    ts, _ = jax.lax.scan(
-                        ublock, ts, None, length=rem,
-                        unroll=scan_unroll,
-                    )
-                return ts
-
+            GR, deferred_seg = _make_deferred_seg(
+                k, unroll_body, scan_unroll, step_at, plain_u,
+                lambda ts: step_pre_f(ts, False, False, False),
+                rebuild_nc, step_post_f, block_at,
+            )
             use_defer = bps - 1 >= GR and (k == 1 or unroll_blocks)
 
             def seg_body(ts: TableState, _):
                 if not (bps > 1 and use_mega):
                     if use_defer:
-                        return deferred_seg(ts), None
+                        return deferred_seg(ts, bps), None
                     return regular_seg(ts), None
                 tsp = mega_prefix(ts)
 
@@ -842,7 +853,7 @@ def make_run_chunk_table(params: SimParams):
                         fields=mega_unpack(tbl, strip),
                         step=stp2 - 1,
                     )
-                    return step_post_m(t), okall
+                    return step_post_f(t), okall
 
                 out, okall = spans(tsp)
                 # deferred fallback: a failed incremental precondition at
@@ -1073,30 +1084,13 @@ def make_run_chunk_table_batched(params: SimParams):
                     ts, _ = jax.lax.scan(ublock, ts, None, length=bps - 1)
                 return ts
 
-            # deferred-fallback groups, batched twin of the single-scene
-            # schedule: _smart_rebuild_batched's all-scenes cond still
-            # routes the whole batched TableState per block; groups of GR
-            # blocks run every scene's incremental UNCONDITIONALLY, AND
-            # the ok flags across scenes and blocks, and adopt-or-redo
-            # the group with ONE cond (bitwise-identical — see the
-            # single-scene deferred_seg).
-            GR = 7
-
-            def block_nc(carry, _):
+            # batched twin of the single-scene deferred schedule:
+            # _smart_rebuild_batched's all-scenes cond still routes the
+            # whole batched TableState per block; the hooks vmap the
+            # incremental and AND the ok flags across scenes.
+            def rebuild_nc(ts: TableState):
                 from .ops.table_rebuild import incremental_rebuild
 
-                ts, okacc = carry
-                if k > 1:
-                    if unroll_body:
-                        for j in range(k - 1):
-                            ts = step_at(ts, False, gated=False)
-                    else:
-                        ts = step_at(ts, False, gated=False)
-                        if k > 2:
-                            ts, _ = jax.lax.scan(
-                                plain_u, ts, None, length=k - 2
-                            )
-                ts = vpre(ts, False, False, False)
                 moved, ok = jax.vmap(
                     lambda f, o: incremental_rebuild(
                         params, f, MOVE_FIELDS, o
@@ -1104,50 +1098,22 @@ def make_run_chunk_table_batched(params: SimParams):
                 )(ts.fields, ts.origin)
                 f = dict(ts.fields)
                 f.update(moved)
-                ts = ts._replace(fields=_derived_rows(params, f))
-                return (vpost(ts), okacc & jnp.all(ok)), None
+                return (
+                    ts._replace(fields=_derived_rows(params, f)),
+                    jnp.all(ok),
+                )
 
-            def deferred_groups(ts: TableState, n_groups: int):
-                def group(ts, _):
-                    (out, okall), _ = jax.lax.scan(
-                        block_nc, (ts, jnp.asarray(True)), None, length=GR
-                    )
-
-                    def redo(t0, o):
-                        del o
-
-                        def rb(t, _):
-                            return block_at(t, False), None
-
-                        t0, _ = jax.lax.scan(rb, t0, None, length=GR)
-                        return t0
-
-                    ts = jax.lax.cond(
-                        okall, lambda t0, o: o, redo, ts, out
-                    )
-                    return ts, None
-
-                ts, _ = jax.lax.scan(group, ts, None, length=n_groups)
-                return ts
-
-            def deferred_seg(ts: TableState) -> TableState:
-                ts = block_at(ts, True)
-                n_groups, rem = divmod(bps - 1, GR)
-                if n_groups:
-                    ts = deferred_groups(ts, n_groups)
-                if rem:
-                    def ublock(ts, _):
-                        return block_at(ts, False), None
-
-                    ts, _ = jax.lax.scan(ublock, ts, None, length=rem)
-                return ts
-
+            GR, deferred_seg = _make_deferred_seg(
+                k, unroll_body, 1, step_at, plain_u,
+                lambda ts: vpre(ts, False, False, False),
+                rebuild_nc, vpost, block_at,
+            )
             use_defer = bps - 1 >= GR and (k == 1 or unroll_blocks)
 
             def seg_body(ts: TableState, _):
                 if not (bps > 1 and use_mega):
                     if use_defer:
-                        return deferred_seg(ts), None
+                        return deferred_seg(ts, bps), None
                     return regular_seg(ts), None
                 tsp = mega_prefix(ts)
 

@@ -34,3 +34,34 @@ def integrate(
     new_pos = jnp.clip(new_pos, lo, hi)
     new_vel = jnp.where(out, vel * bd, vel)
     return new_pos, new_vel
+
+
+def radius_integrate_planes(params: SimParams, f: dict, time) -> dict:
+    """Radius controller + integrate/boundary on a dict of flat component
+    planes (keys rad/phase/aa/ar/dead/val/px/py/vx/vy) — the table-resident
+    form shared by engine_table.step_pre and the megakernel's in-kernel
+    ``pre`` so the reference-parity op order (particlebot.cpp:170-300:
+    radius update from the PREVIOUS step's force magnitudes, then
+    position integrate with the ±world_half clamp and boundary_damping
+    velocity flip) lives in exactly one place.  Mutates and returns f.
+
+    NOTE: the expression shape is pinned — reordering flips XLA FMA
+    contraction choices (CLAUDE.md) and 1-ulp roundings across every
+    table-path consistency test."""
+    from .actuation import update_radius
+
+    f32 = jnp.float32
+    dt = params.timestep
+    f["rad"] = update_radius(
+        params, f["rad"], f["phase"], f["aa"], f["ar"],
+        f["dead"] > 0.5, f["val"] > 0.5, time, dt,
+    )
+    hi = f32(params.world_half) - f["rad"]
+    lo = -f32(params.world_half) + f["rad"]
+    bd = f32(params.boundary_damping)
+    for c, v in (("px", "vx"), ("py", "vy")):
+        new_p = f[c] + f[v] * f32(dt)
+        out = (new_p > hi) | (new_p < lo)
+        f[c] = jnp.clip(new_p, lo, hi)
+        f[v] = jnp.where(out, f[v] * bd, f[v])
+    return f

@@ -67,12 +67,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import SimParams
-from .actuation import update_radius
 from .forces import (
     friction_velocity_update_xy,
     obstacle_forces_xy,
 )
-from .pallas_stencil import OFFSETS, _kernel_fields, _pair_block
+from .integrate import radius_integrate_planes
+from .pallas_stencil import OFFSETS, _derive_fields, _kernel_fields, _pair_block
 
 # row budget: G=16 at capacity 16 — the ONLY table size where the fused
 # span wins.  G=32 (gg=1024 lanes) needs ~31 MB of scoped VMEM for the
@@ -99,7 +99,7 @@ def mega_eligible(params: SimParams) -> bool:
         return False
     if p.resolved_overflow_slots() != 0:
         return False
-    if not (1 <= max(1, p.slot_rebuild_steps) <= 8):
+    if max(1, p.slot_rebuild_steps) > 8:
         return False
     return True
 
@@ -118,7 +118,7 @@ def _roll(x: jax.Array, shift: int, interpret: bool) -> jax.Array:
 def _make_kernel(params: SimParams, interpret: bool):
     """Kernel body over full-table VMEM blocks.
 
-    refs: scalars (1, 128) f32 [step0, head], tbl (N_TF, C, gg),
+    refs: scalars (1, 128) f32 [step0, 0...], tbl (N_TF, C, gg),
     strip (N_TF, S, 128) -> tbl', strip'."""
     from ..engine_table import TABLE_FIELDS
 
@@ -133,23 +133,10 @@ def _make_kernel(params: SimParams, interpret: bool):
     kfields = _kernel_fields(p)
     has_obstacles = bool(p.circle_obstacles or p.rect_obstacles)
 
-    def integrate_xy(d):
-        hi = f32(p.world_half) - d["rad"]
-        lo = -f32(p.world_half) + d["rad"]
-        bd = f32(p.boundary_damping)
-        for c, v in (("px", "vx"), ("py", "vy")):
-            new_p = d[c] + d[v] * f32(dt)
-            out = (new_p > hi) | (new_p < lo)
-            d[c] = jnp.clip(new_p, lo, hi)
-            d[v] = jnp.where(out, d[v] * bd, d[v])
-        return d
-
     def pre(d, time):
-        d["rad"] = update_radius(
-            p, d["rad"], d["phase"], d["aa"], d["ar"],
-            d["dead"] > 0.5, d["val"] > 0.5, time, f32(dt),
-        )
-        return integrate_xy(d)
+        # radius controller + integrate/boundary: the exact plane-form
+        # shared with engine_table.step_pre (ops/integrate.py)
+        return radius_integrate_planes(p, d, time)
 
     def pair_forces_tbl(f):
         """5-block Newton stencil on (C, gg) planes; preshift/realign as
@@ -158,11 +145,7 @@ def _make_kernel(params: SimParams, interpret: bool):
         """
 
         def derive(d):
-            if "val" not in kfields:
-                d["val"] = (d["rad"] > 0).astype(f32)
-            if "afac" not in kfields:
-                d["afac"] = d["val"]
-            return d
+            return _derive_fields(kfields, d)
 
         t = derive({k: f[k][:, None, :] for k in kfields})
         acc = [jnp.zeros((cap, gg), f32) for _ in range(4)]

@@ -242,16 +242,23 @@ def _kernel_fields(params: SimParams) -> tuple:
     return tuple(k for k in FIELDS if k not in ("afac", "val"))
 
 
+def _derive_fields(fields: tuple, d: dict) -> dict:
+    """Recompute the val (= rad > 0) and afac (= val, no payload) planes
+    when they are not stacked — THE aliasing rule behind _kernel_fields;
+    the megakernel's in-kernel field dicts reuse it."""
+    if "val" not in fields:
+        d["val"] = (d["rad"] > 0).astype(jnp.float32)
+    if "afac" not in fields:
+        d["afac"] = d["val"]
+    return d
+
+
 def _field_dicts(fields: tuple):
     """(tgt_fields, cand_fields) builders over a stacked block array, with
-    the val (= rad > 0) and afac (= val, no payload) planes recomputed
-    when they are not stacked."""
+    the val/afac planes recomputed via :func:`_derive_fields` when they
+    are not stacked."""
     def derive(d):
-        if "val" not in fields:
-            d["val"] = (d["rad"] > 0).astype(jnp.float32)
-        if "afac" not in fields:
-            d["afac"] = d["val"]
-        return d
+        return _derive_fields(fields, d)
 
     def tgt(stk):
         return derive(

@@ -297,9 +297,10 @@ def incremental_rebuild_planes(
 ):
     """Plane-native core of :func:`incremental_rebuild`: returns
     ``(new_planes, ok)`` with the same shape as ``planes``.  The
-    megakernel's between-span rebuild (engine_table._smart_rebuild_packed)
-    calls this directly on its stacked (N_TF, cap, gg) table slices to
-    avoid a flat-layout round trip per span."""
+    megakernel's between-span rebuild (``_incremental_packed`` inside
+    engine_table.make_run_chunk_table) calls this directly on its stacked
+    (N_TF, cap, gg) table slices to avoid a flat-layout round trip per
+    span."""
     g, cap = params.resolved_grid_dim(), params.storage_capacity()
     gg = g * g
     f32 = jnp.float32

@@ -112,3 +112,43 @@ def test_random_config_fuzz_stays_healthy():
         assert h["cell_overflow"] == 0, f"trial {trial}: overflow ({p})"
         pos = np.asarray(sim.host_view()[0])
         assert np.abs(pos).max() <= p.world_half + 1e-3, f"trial {trial}: escaped box"
+
+
+def test_cell_occupancy_at_reference_density():
+    """The cutoff-sized grid cell (~3 bot diameters; cutoff = 2.2x the
+    reference cell, main.cpp:932-935) holds FAR more than half the table
+    capacity at reference density — measured max 13-14 of 16 with a
+    majority of occupied cells above 8 once the wave compresses the blob.
+
+    Two design assumptions pinned here:
+    * max occupancy <= cell_capacity — the table's force-visibility
+      guarantee at default density (no silent pair loss to the parking
+      strip / spill rows);
+    * occupancy is NOT slot-sparse — any "only the first half of the
+      slot rows matter" speculation (tried and reverted: the lo-slot
+      kernels, 39% regression at 10k because the adopt-or-redo fallback
+      fired on every group) is structurally wrong at this density.
+    """
+    from particlerobotsimulations_tpu.engine import make_run_chunk
+
+    p = SimParams(
+        n_cells=1000, n_dead=0, seed=7, config=Config.HEX,
+        light_x=-20.0, light_y=0.0, force_backend=ForceBackend.STENCIL,
+    )
+    sim = Simulation(p)
+    state = make_run_chunk(p)(sim.state, 200, False)
+
+    pv = p.validate()
+    pos = np.asarray(jax.device_get(state.pos))[: p.n_cells]
+    ij = np.floor(pos / pv.cutoff()).astype(np.int64)
+    key = (ij[:, 0] - ij[:, 0].min()) * 100_000 + (ij[:, 1] - ij[:, 1].min())
+    _, counts = np.unique(key, return_counts=True)
+
+    assert counts.max() <= pv.cell_capacity, (
+        f"cell over capacity: {counts.max()} > {pv.cell_capacity}"
+    )
+    over_half = (counts > pv.cell_capacity // 2).sum()
+    assert over_half > len(counts) // 2, (
+        f"density regression: only {over_half}/{len(counts)} occupied cells "
+        f"above capacity/2 (measured 78/120 at step 200)"
+    )

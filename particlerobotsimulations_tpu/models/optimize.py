@@ -168,7 +168,10 @@ def optimize_phases(
         if v < best_v:
             best_v, best_ph = v, ph
         ph, opt_state = apply(ph, opt_state, g)
-    final_v = float(jax.jit(loss)(ph))
+    # reuse the compiled value_and_grad for the final point: a separate
+    # jit(loss) would trace+compile a second full rollout (remote relay
+    # compiles cost 10-60+ s) just to drop the gradient
+    final_v = float(value_and_grad(ph)[0])
     history.append(final_v)
     if final_v < best_v:
         best_v, best_ph = final_v, ph

@@ -288,24 +288,23 @@ def incremental_rebuild(
     return new_fields, ok
 
 
-def incremental_rebuild_planes(
+def rebuild_move_planes(
     params: SimParams,
-    planes: jax.Array,      # (nf, cap, gg) f32 — pre-stacked field planes
-    field_names: tuple,     # names for planes' leading axis (must have
-                            # px/py/val)
+    planes: jax.Array,      # (nf, C, L) f32 — stacked field planes
+    field_names: tuple,     # names for planes' leading axis (px/py/val)
     origin: jax.Array,      # (2,) f32 — the chunk's fixed grid anchor
+    lane_offset=0,          # global lane index of planes' first lane —
+                            # nonzero for a shard's local lane block
 ):
-    """Plane-native core of :func:`incremental_rebuild`: returns
-    ``(new_planes, ok)`` with the same shape as ``planes``.  The
-    megakernel's between-span rebuild (``_incremental_packed`` inside
-    engine_table.make_run_chunk_table) calls this directly on its stacked
-    (N_TF, cap, gg) table slices to avoid a flat-layout round trip per
-    span."""
-    g, cap = params.resolved_grid_dim(), params.storage_capacity()
-    gg = g * g
+    """(dxf, dyf, moved_far, edge): per-row wrapped cell displacements
+    (``_FAR`` on empty rows) and the incremental-compaction preconditions.
+    Shared by the single-chip :func:`incremental_rebuild_planes` and the
+    sharded loop's per-shard rebuild (parallel/spatial_table.py) so the
+    edge-guard margin, wrap convention, and moved-far bound can never
+    diverge between topologies."""
+    g = params.resolved_grid_dim()
     f32 = jnp.float32
     h = f32(params.cutoff())
-    nf = len(field_names)
 
     val = planes[field_names.index("val")] > 0.5
     px = planes[field_names.index("px")]
@@ -314,7 +313,10 @@ def incremental_rebuild_planes(
     # true wrapped cell vs current lane position
     ixt = jnp.floor((px - origin[0]) / h).astype(jnp.int32) % g
     iyt = jnp.floor((py - origin[1]) / h).astype(jnp.int32) % g
-    lane = jax.lax.broadcasted_iota(jnp.int32, (cap, gg), 1)
+    lane = (
+        jax.lax.broadcasted_iota(jnp.int32, planes.shape[1:], 1)
+        + lane_offset
+    )
     ixc = lane % g
     dx = _wrap_center(ixt - ixc, g)
     dy = _wrap_center(iyt - lane // g, g)
@@ -334,6 +336,28 @@ def incremental_rebuild_planes(
 
     dxf = jnp.where(val, dx.astype(f32), f32(_FAR))
     dyf = jnp.where(val, dy.astype(f32), f32(_FAR))
+    return dxf, dyf, moved_far, edge
+
+
+def incremental_rebuild_planes(
+    params: SimParams,
+    planes: jax.Array,      # (nf, cap, gg) f32 — pre-stacked field planes
+    field_names: tuple,     # names for planes' leading axis (must have
+                            # px/py/val)
+    origin: jax.Array,      # (2,) f32 — the chunk's fixed grid anchor
+):
+    """Plane-native core of :func:`incremental_rebuild`: returns
+    ``(new_planes, ok)`` with the same shape as ``planes``.  The
+    megakernel's between-span rebuild (``_incremental_packed`` inside
+    engine_table.make_run_chunk_table) calls this directly on its stacked
+    (N_TF, cap, gg) table slices to avoid a flat-layout round trip per
+    span."""
+    cap = params.storage_capacity()
+    nf = len(field_names)
+
+    dxf, dyf, moved_far, edge = rebuild_move_planes(
+        params, planes, field_names, origin
+    )
     stacked = jnp.concatenate([planes, dxf[None], dyf[None]], axis=0)
 
     new_planes, incoming = _compact(

@@ -66,12 +66,12 @@ from ..engine_table import (
     enter_table,
     exit_table,
 )
-from ..ops.actuation import update_radius
 from ..ops.forces import friction_velocity_update_xy, obstacle_forces
+from ..ops.integrate import radius_integrate_planes
 from ..ops.pallas_stencil import FIELDS as KERNEL_FIELDS
 from ..ops.pallas_stencil import stencil_forces_pallas_ext
 from ..ops.phase import light_distance, update_phase
-from ..ops.table_rebuild import _FAR, _wrap_center, compact_padded
+from ..ops.table_rebuild import compact_padded, rebuild_move_planes
 from ..state import SimState
 
 # halo grid rows per side: only the innermost row carries real neighbor
@@ -147,21 +147,11 @@ def make_sharded_table_run(params: SimParams, mesh: Mesh, axis: str = "bots"):
         planes = jnp.stack(
             [f[k][:center_len] for k in MOVE_FIELDS]
         ).reshape(nf, cs, L0)
-        val = planes[vi] > 0.5
-        px, py = planes[MOVE_FIELDS.index("px")], planes[MOVE_FIELDS.index("py")]
-        h = f32(params.cutoff())
-        ixt = jnp.floor((px - origin[0]) / h).astype(jnp.int32) % g
-        iyt = jnp.floor((py - origin[1]) / h).astype(jnp.int32) % g
-        lane = jax.lax.broadcasted_iota(jnp.int32, (cs, L0), 1) + d * L0
-        ixc = lane % g
-        dx = _wrap_center(ixt - ixc, g)
-        dy = _wrap_center(iyt - lane // g, g)
-        moved_far = jnp.any(val & ((jnp.abs(dx) > 1) | (jnp.abs(dy) > 1)))
-        edge = jnp.any(
-            val & ((ixc == 0) | (ixc == g - 1) | (ixt == 0) | (ixt == g - 1))
+        # shared precondition math (edge-guard margin, wrap convention,
+        # moved-far bound) — lanes offset to this shard's global block
+        dxf, dyf, moved_far, edge = rebuild_move_planes(
+            params, planes, MOVE_FIELDS, origin, lane_offset=d * L0
         )
-        dxf = jnp.where(val, dx.astype(f32), f32(_FAR))
-        dyf = jnp.where(val, dy.astype(f32), f32(_FAR))
         padded = halo_exchange(
             jnp.concatenate([planes, dxf[None], dyf[None]], axis=0)
         )
@@ -272,21 +262,10 @@ def make_sharded_table_run(params: SimParams, mesh: Mesh, axis: str = "bots"):
 
             f["phase"] = jax.lax.cond(phase_g, do_phase, lambda p: p, f["phase"])
 
-        # 4. radius controller (local elementwise)
-        f["rad"] = update_radius(
-            params, f["rad"], f["phase"], f["aa"], f["ar"],
-            f["dead"] > 0.5, val, time, dt,
-        )
-
-        # 5. integrate + boundary (component form)
-        hi = f32(params.world_half) - f["rad"]
-        lo = -f32(params.world_half) + f["rad"]
-        bd = f32(params.boundary_damping)
-        for c_, v_ in (("px", "vx"), ("py", "vy")):
-            new_p = f[c_] + f[v_] * f32(dt)
-            out_ = (new_p > hi) | (new_p < lo)
-            f[c_] = jnp.clip(new_p, lo, hi)
-            f[v_] = jnp.where(out_, f[v_] * bd, f[v_])
+        # 4+5. radius controller + integrate/boundary — the shared
+        # expression-shape-pinned plane form (ops/integrate.py), local
+        # elementwise per shard
+        f = radius_integrate_planes(params, f, time)
 
         # 6. slot rebuild (static schedule, between integrate and collide)
         if rebuild is True:

@@ -178,11 +178,14 @@ class Simulation:
         DISPLAY_INTERVAL frame cadence at main.cpp:370).
         """
         p = self.params
-        total_steps = int(round((max_time or p.max_time) / p.timestep))
+        total_steps = int(round(
+            (p.max_time if max_time is None else max_time) / p.timestep
+        ))
         dump_steps = p.dump_steps
         csv_path = csv_path or p.csv_filename
         if frame_every_steps is None:
-            frame_every_steps = max(1, p.display_interval)
+            frame_every_steps = p.display_interval
+        frame_every_steps = max(1, frame_every_steps)
         # host-visible boundaries: finest of dump and frame cadence
         stride = (
             math_gcd(dump_steps, frame_every_steps)
@@ -248,7 +251,12 @@ class Simulation:
 
             boundary(done)
             while done < total_steps:
-                chunk = min(stride, total_steps - done)
+                # a resume from a non-stride-aligned step (e.g. the final
+                # checkpoint of a max_time that is not dump-aligned) first
+                # steps UP TO the next boundary, so dumps/frames stay on
+                # the absolute dump grid instead of never firing again
+                chunk = stride - done % stride if done % stride else stride
+                chunk = min(chunk, total_steps - done)
                 self.step_chunk(chunk, start_step=done)
                 done += chunk
                 boundary(done)

@@ -172,3 +172,38 @@ def test_checkpoint_resume_misaligned_table_run(tmp_path):
     sim.step_chunk(8, start_step=12)
     np.testing.assert_array_equal(sim.host_view()[0], resumed.host_view()[0])
     assert int(resumed.state.step) == 20
+
+
+def test_resume_off_dump_grid_realigns(tmp_path):
+    """A continuation from a non-dump-aligned step (e.g. the final
+    checkpoint of a max_time that is not a dump multiple) must step UP TO
+    the next absolute dump boundary and keep dumping there — previously
+    the chunk stride preserved the misalignment forever and the continued
+    run wrote zero rows."""
+    p = small_params(max_time=1.3)  # ends at step 130, dump grid = 100s
+    sim = Simulation(p)
+    sim.run(csv_path=str(tmp_path / "a.csv"), echo=False)
+    assert int(sim.state.step) == 130
+
+    csv2 = tmp_path / "b.csv"
+    sim.run(max_time=3.0, csv_path=str(csv2), echo=False)
+    rows = csv2.read_text().splitlines()[2:]
+    times = [float(r.split(",")[0]) for r in rows]
+    assert times == pytest.approx([2.0, 3.0])  # back on the absolute grid
+
+
+def test_run_zero_max_time_is_zero_steps():
+    sim = Simulation(small_params())
+    sim.run(max_time=0.0, csv_path="/dev/null", echo=False)
+    assert int(sim.state.step) == 0
+
+
+def test_frame_every_steps_zero_is_clamped(tmp_path):
+    hits = []
+    sim = Simulation(small_params(max_time=0.1))
+    sim.run(
+        csv_path=str(tmp_path / "c.csv"), echo=False,
+        frame_callback=lambda s: hits.append(int(s.state.step)),
+        frame_every_steps=0,
+    )
+    assert hits  # fired (every step), no ZeroDivisionError

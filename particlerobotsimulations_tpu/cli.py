@@ -86,6 +86,11 @@ def cmd_simulate(args) -> int:
         print(f"resumed at t = {sim.time:g} s", file=sys.stderr)
     else:
         sim = Simulation(params)
+    # a checkpoint resume may carry different params (e.g. a --n-cells
+    # override recorded at save time): the recorder, CSV target and the
+    # summary must describe the sim that actually runs, not the cfg
+    params = sim.params
+    start_steps = int(sim.time / params.timestep + 0.5)
 
     recorder = None
     frame_cb = None
@@ -115,9 +120,10 @@ def cmd_simulate(args) -> int:
         if recorder is not None:
             recorder.close()
     wall = time.time() - t0
-    steps = params.n_steps()
+    # steps actually executed this invocation (a resume starts mid-run)
+    steps = max(0, params.n_steps() - start_steps)
     print(
-        f"simulated {params.max_time:g} sim-s ({steps} steps, "
+        f"simulated {steps * params.timestep:g} sim-s ({steps} steps, "
         f"{params.n_cells} bots) in {wall:.1f} s wall "
         f"({steps * params.n_cells / max(wall, 1e-9) / 1e6:.2f} M particle-steps/s)",
         file=sys.stderr,
@@ -194,9 +200,16 @@ def cmd_bench(args) -> int:
     import importlib.util
     import os
 
-    spec = importlib.util.spec_from_file_location(
-        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
-    )
+    # the benchmark harness lives at the repo root (the driver runs it as
+    # `python bench.py`); an installed package has no copy next to it
+    path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    if not os.path.exists(path):
+        raise SystemExit(
+            "error: bench.py not found next to the package — the bench "
+            "subcommand needs a source checkout (run `python bench.py` "
+            "from the repo root)"
+        )
+    spec = importlib.util.spec_from_file_location("bench", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.main()

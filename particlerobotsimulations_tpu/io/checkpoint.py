@@ -41,22 +41,35 @@ def _params_from_json(s: str) -> SimParams:
 
 
 def save_checkpoint(path: str, params: SimParams, state: SimState) -> None:
+    """Atomically snapshot ``state`` to exactly ``path``.
+
+    Writes to a temp file in the same directory and ``os.replace``s it so
+    a crash mid-save (watchdog kill, OOM) can never destroy the previous
+    good checkpoint — crash recovery is the feature's whole purpose.  The
+    file object keeps ``np.savez_compressed`` from appending ``.npz`` to
+    the name, so ``load_checkpoint(path)``/``os.path.exists(path)`` (the
+    CLI resume probe) always see the file the caller asked for."""
+    import os
+
     host = jax.device_get(state)
-    np.savez_compressed(
-        path,
-        format_version=FORMAT_VERSION,
-        params_json=_params_json(params),
-        pos=host.pos,
-        vel=host.vel,
-        rad=host.rad,
-        phase=host.phase,
-        dead=host.dead,
-        abs_force_a=host.abs_force_a,
-        abs_force_r=host.abs_force_r,
-        step=np.asarray(host.step),
-        key_data=np.asarray(jax.random.key_data(state.key)),
-        centroid_ring=host.centroid_ring,
-    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(
+            fh,
+            format_version=FORMAT_VERSION,
+            params_json=_params_json(params),
+            pos=host.pos,
+            vel=host.vel,
+            rad=host.rad,
+            phase=host.phase,
+            dead=host.dead,
+            abs_force_a=host.abs_force_a,
+            abs_force_r=host.abs_force_r,
+            step=np.asarray(host.step),
+            key_data=np.asarray(jax.random.key_data(state.key)),
+            centroid_ring=host.centroid_ring,
+        )
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str):

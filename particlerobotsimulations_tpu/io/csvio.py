@@ -104,17 +104,29 @@ def load_last_row(params: SimParams, path: str):
     data = [ln for ln in lines if not ln.startswith(("Seed", "Time"))]
     if not data:
         return None
-    row = data[-1]
-    vals = [float(tok) for tok in row.split(",") if tok.strip()]
-    n = params.n_cells
-    expected = 1 + (4 * n + n if params.testing else 0) + 3
-    if len(vals) != expected:
-        raise ValueError(
-            f"CSV row has {len(vals)} fields, expected {expected} "
-            "(resume requires testing=1 dumps)"
-        )
     if not params.testing:
         raise ValueError("resume requires testing=1 CSV format")
+    n = params.n_cells
+    expected = 1 + (4 * n + n if params.testing else 0) + 3
+
+    def parse(row):
+        try:
+            vals = [float(tok) for tok in row.split(",") if tok.strip()]
+        except ValueError:
+            return None
+        return vals if len(vals) == expected else None
+
+    # a killed process / full disk can truncate the final row mid-write:
+    # fall back to the previous complete row, like the reference's
+    # second-to-last-newline seek (particlebot.cpp:371-389)
+    vals = parse(data[-1])
+    if vals is None and len(data) > 1:
+        vals = parse(data[-2])
+    if vals is None:
+        raise ValueError(
+            f"no complete CSV row with {expected} fields in the last two "
+            "rows (resume requires testing=1 dumps)"
+        )
     t = vals[0]
     k = 1
     pos = np.array(vals[k : k + 2 * n], dtype=np.float32).reshape(n, 2)

@@ -95,6 +95,12 @@ def render_frame(
     for x1, x2, y1, y2 in params.rect_obstacles:
         px0, py0 = to_px(x1, y1)
         px1, py1 = to_px(x2, y2)
+        # skip rects entirely outside the view: clipping both edges to the
+        # same border would otherwise paint a 1-px stripe on the frame edge
+        if max(px0, px1) < 0 or min(px0, px1) >= width:
+            continue
+        if max(py0, py1) < 0 or min(py0, py1) >= height:
+            continue
         xa, xb = int(np.clip(px0, 0, width)), int(np.clip(px1, 0, width))
         ya, yb = int(np.clip(py0, 0, height)), int(np.clip(py1, 0, height))
         img[min(ya, yb) : max(ya, yb) + 1, min(xa, xb) : max(xa, xb) + 1] = OBSTACLE

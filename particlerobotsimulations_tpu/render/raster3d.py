@@ -158,7 +158,9 @@ def render_frame_3d(
     if centroid_trail is not None and len(centroid_trail):
         tp = _scene_xyz(np.asarray(centroid_trail), 0.02)
         tx, ty, td, tvis = cam.project(tp)
-        pr = cam.pixel_radius(0.05, td)
+        # same dot size as the 2d renderer and the reference
+        # (hRad[nCells+i] = centroid_radius, particlebot.cpp:778)
+        pr = cam.pixel_radius(params.centroid_radius, td)
         keep = tvis & (pr > 0.3)
         if keep.any():
             cols = np.broadcast_to(

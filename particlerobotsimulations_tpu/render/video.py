@@ -46,14 +46,20 @@ class VideoRecorder:
         self.style = style
         self._frame_idx = 0
 
-    def capture(self, sim) -> np.ndarray:
-        """Render + append one frame from a Simulation's current state."""
+    def capture(self, sim):
+        """Render + append one frame from a Simulation's current state.
+
+        Returns the frame, or None on a thinned call: with
+        VIDEO_INTERVAL > 1 (reference: postprocess.cu:113) the skipped
+        frames never pay the device fetch or the raster pass."""
         p = self.params
+        idx = self._frame_idx
+        self._frame_idx += 1
+        if idx % max(1, p.video_interval) != 0:
+            return None
         n = p.n_cells
         state = sim.state
-        pos, rad, dead = jax.device_get(
-            (state.pos[:n], state.rad[:n], state.dead[:n])
-        )
+        pos, rad = jax.device_get((state.pos[:n], state.rad[:n]))
         colors = np.asarray(
             jax.device_get(
                 bot_colors(p, state.rad[:n], state.pos[:n], state.dead[:n])
@@ -74,10 +80,7 @@ class VideoRecorder:
             width=self.width,
             height=self.height,
         )
-        # video_interval thinning (reference: postprocess.cu:113)
-        if self._frame_idx % max(1, p.video_interval) == 0:
-            self.writer.write_frame(frame)
-        self._frame_idx += 1
+        self.writer.write_frame(frame)
         return frame
 
     def close(self):

@@ -1,0 +1,59 @@
+"""CLI end-to-end tests (simulate + checkpoint resume).
+
+The CLI was previously smoke-tested by hand only; these pin the resume
+semantics: the checkpoint's params drive the resumed run (not the cfg),
+and the post-run summary reports the steps actually executed.
+"""
+
+import numpy as np
+
+from particlerobotsimulations_tpu import cli
+
+
+def _write_cfg(tmp_path, csv_path, n_cells=8, max_time=2.0):
+    cfg = tmp_path / "t.cfg"
+    cfg.write_text(
+        "nCells\n"
+        f"{n_cells}\n"
+        "max_time\n"
+        f"{max_time}\n"
+        "dump_interval\n"
+        "1\n"
+        "testing\n"
+        "1\n"
+        "csv_filename\n"
+        f"{csv_path}\n"
+    )
+    return str(cfg)
+
+
+def test_cli_simulate_and_checkpoint_resume(tmp_path, capsys):
+    csv = tmp_path / "out.csv"
+    cfg = _write_cfg(tmp_path, csv)
+    ck = str(tmp_path / "run.ck")  # no .npz: exact-path save must hold
+
+    rc = cli.main(
+        ["simulate", cfg, "--checkpoint", ck, "--quiet", "--n-cells", "10"]
+    )
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "(200 steps, 10 bots)" in err  # cfg override applied
+
+    # resume WITHOUT repeating --n-cells: the checkpoint's params (10
+    # bots) must drive the run, and the summary must count only the
+    # continuation steps
+    rc = cli.main(
+        ["simulate", cfg, "--resume", "--checkpoint", ck,
+         "--max-time", "3.0", "--quiet"]
+    )
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "resumed at t = 2 s" in err
+    assert "(100 steps, 10 bots)" in err  # delta steps, checkpoint shape
+
+    rows = csv.read_text().splitlines()[2:]
+    times = [float(r.split(",")[0]) for r in rows]
+    assert times == [0.0, 1.0, 2.0, 3.0]
+    # every row carries the checkpoint's 10-bot column count
+    n_fields = {len([t for t in r.split(",") if t.strip()]) for r in rows}
+    assert n_fields == {1 + 5 * 10 + 3}

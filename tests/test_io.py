@@ -207,3 +207,40 @@ def test_frame_every_steps_zero_is_clamped(tmp_path):
         frame_every_steps=0,
     )
     assert hits  # fired (every step), no ZeroDivisionError
+
+
+def test_checkpoint_exact_path_and_atomic(tmp_path):
+    """save_checkpoint must write exactly the requested path (numpy's
+    bare-savez appends .npz, which broke the CLI's os.path.exists resume
+    probe) and leave no temp file behind."""
+    p = small_params()
+    sim = Simulation(p)
+    path = str(tmp_path / "ck")  # deliberately no .npz suffix
+    save_checkpoint(path, p, sim.state)
+    import os
+
+    assert os.path.exists(path)
+    assert not os.path.exists(path + ".npz")
+    assert not os.path.exists(path + ".tmp")
+    p2, state2 = load_checkpoint(path)
+    assert p2 == p
+    np.testing.assert_array_equal(
+        np.asarray(sim.state.pos), np.asarray(state2.pos)
+    )
+
+
+def test_resume_from_truncated_csv(tmp_path):
+    """A CSV whose final row was cut mid-write (killed process, full disk)
+    must resume from the previous complete row, mirroring the reference's
+    second-to-last-newline seek (particlebot.cpp:371-389)."""
+    p = small_params()
+    csv = tmp_path / "out.csv"
+    Simulation(p).run(csv_path=str(csv), echo=False)
+    text = csv.read_text()
+    rows = text.splitlines()
+    truncated = "\n".join(rows[:-1] + [rows[-1][: len(rows[-1]) // 2]])
+    csv.write_text(truncated + "\n")
+
+    sim2 = Simulation.resume_from_csv(p, str(csv))
+    # last complete row is t = 1.0 (rows at t = 0, 1; t = 2 truncated)
+    assert sim2.time == pytest.approx(1.0)

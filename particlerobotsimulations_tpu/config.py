@@ -286,8 +286,14 @@ class SimParams:
             raise ValueError("at most 10 obstacles of each kind")
         if self.min_radius <= 0 or self.max_radius < self.min_radius:
             raise ValueError("need 0 < min_radius <= max_radius")
-        if self.grid_dim % 16:
-            raise ValueError("grid_dim must be 0 (auto) or a multiple of 16")
+        if self.grid_dim < 0 or self.grid_dim % 16:
+            raise ValueError("grid_dim must be 0 (auto) or a positive multiple of 16")
+        if self.cell_capacity < 1:
+            raise ValueError("cell_capacity must be >= 1")
+        if self.slot_rebuild_steps < 1:
+            raise ValueError("slot_rebuild_steps must be >= 1")
+        if self.world_half <= 0:
+            raise ValueError("world_half must be > 0")
         if self.overflow_slots > 0 and self.overflow_slots % 8:
             raise ValueError("overflow_slots must be -1 (auto) or a multiple of 8")
         return self
@@ -342,35 +348,35 @@ def params_from_dict(kv: dict, base: SimParams | None = None) -> SimParams:
 
     # obstacle assembly (reference stores them as parallel arrays,
     # main.cpp:601-676)
-    n_rect = int(kv.pop("nobstacles", len(p.rect_obstacles)))
-    n_circ = int(kv.pop("n_cir_obstacles", len(p.circle_obstacles)))
-    rect_cols = {k: kv.pop(k, None) for k in ("x1obs", "x2obs", "y1obs", "y2obs")}
-    circ_cols = {k: kv.pop(k, None) for k in ("x_cir_obs", "y_cir_obs", "r_cir_obs")}
+    def _obstacles(count_key: str, coord_keys: tuple, field: str) -> None:
+        """cfg -> ``field`` update.  An explicit '<count_key> 0' clears
+        obstacles inherited from the base params (the reference's obstacle
+        loops iterate zero times when the count is 0); a cfg mentioning
+        neither the count nor any coordinate column inherits the base
+        untouched; coordinate columns without a count are ignored like the
+        reference's default nobstacles=0."""
+        raw = kv.pop(count_key, None)
+        cols_in = {k: kv.pop(k, None) for k in coord_keys}
+        if raw is None and all(v is None for v in cols_in.values()):
+            return  # not mentioned: inherit
+        n = int(raw) if raw is not None else 0
+        if not n:
+            updates[field] = ()
+            return
+        cols = []
+        for k in coord_keys:
+            if cols_in[k] is None:
+                raise ValueError(f"{count_key}={n} but '{k}' missing")
+            vals = _floats(cols_in[k])
+            if len(vals) < n:
+                raise ValueError(f"'{k}' needs {n} values")
+            cols.append(vals[:n])
+        updates[field] = tuple(zip(*cols))
 
-    if n_rect:
-        cols = []
-        for k in ("x1obs", "x2obs", "y1obs", "y2obs"):
-            if rect_cols[k] is None:
-                raise ValueError(f"nobstacles={n_rect} but '{k}' missing")
-            vals = _floats(rect_cols[k])
-            if len(vals) < n_rect:
-                raise ValueError(f"'{k}' needs {n_rect} values")
-            cols.append(vals[:n_rect])
-        updates["rect_obstacles"] = tuple(zip(*cols))
-    elif any(v is not None for v in rect_cols.values()):
-        updates["rect_obstacles"] = ()
-    if n_circ:
-        cols = []
-        for k in ("x_cir_obs", "y_cir_obs", "r_cir_obs"):
-            if circ_cols[k] is None:
-                raise ValueError(f"n_cir_obstacles={n_circ} but '{k}' missing")
-            vals = _floats(circ_cols[k])
-            if len(vals) < n_circ:
-                raise ValueError(f"'{k}' needs {n_circ} values")
-            cols.append(vals[:n_circ])
-        updates["circle_obstacles"] = tuple(zip(*cols))
-    elif any(v is not None for v in circ_cols.values()):
-        updates["circle_obstacles"] = ()
+    _obstacles("nobstacles", ("x1obs", "x2obs", "y1obs", "y2obs"), "rect_obstacles")
+    _obstacles(
+        "n_cir_obstacles", ("x_cir_obs", "y_cir_obs", "r_cir_obs"), "circle_obstacles"
+    )
 
     _INT = int
     _FLT = float
@@ -425,6 +431,9 @@ def params_from_dict(kv: dict, base: SimParams | None = None) -> SimParams:
         "neighbor_cutoff": ("neighbor_cutoff", _FLT),
         "grid_dim": ("grid_dim", _INT),
         "cell_capacity": ("cell_capacity", _INT),
+        "overflow_slots": ("overflow_slots", _INT),
+        "slot_rebuild_steps": ("slot_rebuild_steps", _INT),
+        "world_half": ("world_half", _FLT),
     }
 
     for key, value in kv.items():
@@ -439,9 +448,10 @@ def params_from_dict(kv: dict, base: SimParams | None = None) -> SimParams:
         field, conv = field_map[key]
         updates[field] = conv(value)
 
-    # phase_std default tracks rise_period (main.cpp:899) unless overridden
-    if "rise_period" in updates and "phase_std" not in updates:
-        updates["phase_std"] = 0.3 * updates["rise_period"]
+    # NOTE: the reference derives phase_std = 0.3*rise_period only in the
+    # DEFAULTS block (main.cpp:899); setParam('rise_period') (main.cpp:779)
+    # never re-derives it.  A cfg that sets rise_period therefore keeps the
+    # default phase_std = 0.6 unless it sets phase_std explicitly.
 
     return p.replace(**updates).validate()
 

@@ -36,6 +36,15 @@ from .forces import (
 )
 
 
+# the full 3x3 neighborhood (dx, dy), center first — shared by the
+# pallas-stencil candidate blocks and the compaction-rebuild mover offsets
+OFFSETS9 = (
+    (0, 0),
+    (1, 0), (-1, 0), (0, 1), (0, -1),
+    (1, 1), (1, -1), (-1, 1), (-1, -1),
+)
+
+
 class CellTable(NamedTuple):
     idx: jax.Array        # (G*G*C,) int32 — bot index or -1
     cell_id: jax.Array    # (n_pad,) int32 — each bot's cell
@@ -77,26 +86,36 @@ def cell_ids(
     return jnp.where(mask, cid, g * g)
 
 
-def build_cell_table(params: SimParams, pos: jax.Array, mask: jax.Array) -> CellTable:
-    g, cap = params.resolved_grid_dim(), params.cell_capacity
-    n = pos.shape[0]
-    cid = cell_ids(params, pos, mask)
+def rank_cells(cid: jax.Array, g: int, cap: int):
+    """Sort bots by cell id and rank each within its cell's run.
 
+    The shared core of every slot-table build (the TPU equivalent of the
+    reference's calcHash -> thrust::sort -> findCellStart pipeline,
+    particlebot_kernel_impl.cuh:445-538): a stable argsort groups bots by
+    cell, then rank = position within the group.  Returns
+    ``(order, scid, rank, in_range, overflow)`` where ``scid``/``rank``/
+    ``in_range`` are in sorted order and ``overflow`` counts in-range bots
+    beyond ``cap`` per cell (they get no slot)."""
+    n = cid.shape[0]
     order = jnp.argsort(cid)                       # stable radix-style sort
     scid = cid[order]
     arange = jnp.arange(n, dtype=jnp.int32)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), scid[1:] != scid[:-1]]
-    )
+    is_start = jnp.concatenate([jnp.ones((1,), bool), scid[1:] != scid[:-1]])
     run_start = jax.lax.cummax(jnp.where(is_start, arange, 0))
     rank = arange - run_start
-
     in_range = scid < g * g
+    overflow = jnp.sum((in_range & (rank >= cap)).astype(jnp.int32))
+    return order, scid, rank, in_range, overflow
+
+
+def build_cell_table(params: SimParams, pos: jax.Array, mask: jax.Array) -> CellTable:
+    g, cap = params.resolved_grid_dim(), params.cell_capacity
+    cid = cell_ids(params, pos, mask)
+    order, scid, rank, in_range, overflow = rank_cells(cid, g, cap)
     keep = in_range & (rank < cap)
     slot = jnp.where(keep, scid * cap + rank, g * g * cap)
     table = jnp.full((g * g * cap,), -1, dtype=jnp.int32)
     table = table.at[slot].set(order.astype(jnp.int32), mode="drop")
-    overflow = jnp.sum((in_range & (rank >= cap)).astype(jnp.int32))
     return CellTable(idx=table, cell_id=cid, overflow=overflow)
 
 

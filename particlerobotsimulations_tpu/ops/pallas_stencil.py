@@ -48,7 +48,7 @@ from .forces import (
     friction_velocity_update,
     obstacle_forces,
 )
-from .grid import cell_ids
+from .grid import OFFSETS9, cell_ids, rank_cells
 
 # field order in the stacked kernel input
 FIELDS = ("px", "py", "vx", "vy", "rad", "val", "afac")
@@ -58,13 +58,9 @@ N_FIELDS = len(FIELDS)
 OFFSETS = ((0, 0), (1, 0), (0, 1), (1, 1), (1, -1))
 N_BLOCKS = len(OFFSETS)
 
-# the full 3x3 neighborhood (non-Newton form, used by the sharded-table
-# force pass: no reactions means nothing to send back across shards)
-OFFSETS9 = (
-    (0, 0),
-    (1, 0), (-1, 0), (0, 1), (0, -1),
-    (1, 1), (1, -1), (-1, 1), (-1, -1),
-)
+# OFFSETS9 (imported from .grid): the full 3x3 neighborhood — the non-Newton
+# form used by the sharded-table force pass (no reactions means nothing to
+# send back across shards)
 
 # 128-lane tiles: finest skip granularity for the occupancy gate (empty
 # tiles skip ALL pair math).  Measured at 10k/100k bots: 128 beats 256/384
@@ -141,19 +137,10 @@ def assign_slots_slotmajor(params: SimParams, pos, mask, origin=None, cap=None):
     cap = cap if cap is not None else params.cell_capacity
     n = pos.shape[0]
     cid = cell_ids(params, pos, mask, origin=origin)
-
-    order = jnp.argsort(cid)
-    scid = cid[order]
-    arange = jnp.arange(n, dtype=jnp.int32)
-    is_start = jnp.concatenate([jnp.ones((1,), bool), scid[1:] != scid[:-1]])
-    run_start = jax.lax.cummax(jnp.where(is_start, arange, 0))
-    rank = arange - run_start
-
-    in_range = scid < g * g
+    order, scid, rank, in_range, overflow = rank_cells(cid, g, cap)
     keep = in_range & (rank < cap)
     slot_sorted = jnp.where(keep, rank * (g * g) + scid, g * g * cap)
     slot = jnp.zeros((n,), jnp.int32).at[order].set(slot_sorted)
-    overflow = jnp.sum((in_range & (rank >= cap)).astype(jnp.int32))
     return slot, overflow
 
 

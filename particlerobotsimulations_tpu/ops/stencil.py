@@ -33,7 +33,7 @@ from .forces import (
     obstacle_forces,
     pair_forces,
 )
-from .grid import cell_ids
+from .grid import cell_ids, rank_cells
 
 
 class SlotAssignment(NamedTuple):
@@ -45,20 +45,11 @@ def assign_slots(params: SimParams, pos: jax.Array, mask: jax.Array) -> SlotAssi
     g, cap = params.resolved_grid_dim(), params.cell_capacity
     n = pos.shape[0]
     cid = cell_ids(params, pos, mask)          # padding -> g*g (out of range)
-
-    order = jnp.argsort(cid)
-    scid = cid[order]
-    arange = jnp.arange(n, dtype=jnp.int32)
-    is_start = jnp.concatenate([jnp.ones((1,), bool), scid[1:] != scid[:-1]])
-    run_start = jax.lax.cummax(jnp.where(is_start, arange, 0))
-    rank = arange - run_start
-
-    in_range = scid < g * g
+    order, scid, rank, in_range, overflow = rank_cells(cid, g, cap)
     keep = in_range & (rank < cap)
     slot_sorted = jnp.where(keep, scid * cap + rank, g * g * cap)
     # invert the sort: slot for bot order[k] is slot_sorted[k]
     slot = jnp.zeros((n,), jnp.int32).at[order].set(slot_sorted)
-    overflow = jnp.sum((in_range & (rank >= cap)).astype(jnp.int32))
     return SlotAssignment(slot=slot, overflow=overflow)
 
 

@@ -48,13 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import SimParams
-
-# all 9 neighbor offsets (dx, dy) — movers can go any of 8 ways, plus stay
-OFFSETS9 = (
-    (0, 0),
-    (1, 0), (-1, 0), (0, 1), (0, -1),
-    (1, 1), (1, -1), (-1, 1), (-1, -1),
-)
+from .grid import OFFSETS9  # movers can go any of 8 ways, plus stay
 
 CHUNK = 128          # target-lane tile; G*G is always a multiple of 256
 EDGE_MARGIN = 2      # empty wrapped-edge columns the engine maintains

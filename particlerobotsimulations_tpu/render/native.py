@@ -20,12 +20,33 @@ _SO_PATHS = (
 )
 
 
+def _stale(so_path: str) -> bool:
+    """True when the repo-local .so is older than its C++ sources."""
+    try:
+        so_mtime = os.path.getmtime(so_path)
+    except OSError:
+        return False  # missing: CDLL below reports that as OSError anyway
+    src_dir = os.path.dirname(so_path)
+    for src in ("raster.cpp", "mjpeg.cpp"):
+        try:
+            if os.path.getmtime(os.path.join(src_dir, src)) > so_mtime:
+                return True
+        except OSError:
+            pass  # installed layout without sources: trust the binary
+    return False
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     for p in _SO_PATHS:
+        if os.path.sep in p and _stale(os.path.abspath(p)):
+            # built before its sources were last edited — behaviour could
+            # silently diverge; prefer the numpy/PIL fallback and let the
+            # user re-run `make -C native`
+            continue
         try:
             lib = ctypes.CDLL(os.path.abspath(p) if os.path.sep in p else p)
         except OSError:

@@ -154,6 +154,47 @@ class Simulation:
             out["cell_overflow"] = int(jax.device_get(overflow))
         return out
 
+    def _check_cell_overflow(self, pos: np.ndarray, step_count: int) -> None:
+        """Warn (once) when physical cell occupancy exceeds cell_capacity.
+
+        The slot-table backends (STENCIL/CELLGRID/PALLAS) hold at most
+        ``cell_capacity`` bots per neighbor cell and silently drop the rest
+        from pair interactions — unlike the reference, whose per-thread
+        neighbor loops (particlebot_kernel_impl.cuh:657-700) have no such
+        cap.  This probe is pure numpy on the already-fetched host positions
+        (the direct position-binning occupancy count), so it costs no device
+        dispatches."""
+        from .config import ForceBackend
+
+        if self.params.resolved_backend() == ForceBackend.DENSE:
+            return
+        if getattr(self, "_overflow_warned", False):
+            return
+        n = self.params.n_cells
+        p = pos[:n]
+        ok = np.isfinite(p).all(axis=1) & (np.abs(p) <= self.params.world_half).all(
+            axis=1
+        )
+        p = p[ok]
+        if p.size == 0:
+            return
+        bins = np.floor(p / self.params.cutoff()).astype(np.int64)
+        _, counts = np.unique(bins, axis=0, return_counts=True)
+        max_occ = int(counts.max())
+        if max_occ > self.params.cell_capacity:
+            import warnings
+
+            self._overflow_warned = True
+            warnings.warn(
+                f"cell occupancy {max_occ} exceeds cell_capacity="
+                f"{self.params.cell_capacity} at t="
+                f"{step_count * self.params.timestep:g}s: the neighbor table "
+                f"drops the excess bots' contacts. Raise cell_capacity (cfg "
+                f"key) or lower the density.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+
     def run(
         self,
         max_time: float | None = None,
@@ -226,6 +267,8 @@ class Simulation:
                 # multiple of dump_interval gets no extra final row
                 if step_count % dump_steps == 0:
                     pos, vel, rad = self.host_view()
+                    if health_check:
+                        self._check_cell_overflow(pos, step_count)
                     if health_check and not (
                         np.isfinite(pos).all() and np.isfinite(vel).all()
                     ):

@@ -126,9 +126,14 @@ def test_obstacle_cap_matches_reference_constant_arrays():
         SimParams(rect_obstacles=rects).validate()
 
 
-def test_phase_std_tracks_rise_period():
+def test_phase_std_not_rederived_from_rise_period():
+    # setParam('rise_period') in the reference (main.cpp:779) does NOT
+    # re-derive phase_std; the 0.3*rise_period coupling exists only in the
+    # defaults block (main.cpp:899).  A cfg setting rise_period keeps the
+    # default phase_std = 0.6.
     p = parse_cfg_text("rise_period\n4\n")
-    assert p.phase_std == pytest.approx(1.2)
+    assert p.rise_period == pytest.approx(4.0)
+    assert p.phase_std == pytest.approx(0.6)
     p = parse_cfg_text("rise_period\n4\nphase_std\n0.1\n")
     assert p.phase_std == pytest.approx(0.1)
 
@@ -153,3 +158,37 @@ def test_auto_grid_dim():
     # must cover the expected packed blob (~16.4 world units at 10k bots)
     assert p.resolved_grid_dim() * p.cutoff() > 20.0
     assert SimParams(n_cells=10000, grid_dim=64).resolved_grid_dim() == 64
+
+
+def test_nobstacles_zero_clears_inherited_obstacles():
+    # an explicit 'nobstacles 0' must disable obstacles from the base params
+    # (reference: the obstacle loops iterate zero times when nobstacles==0)
+    base = SimParams(rect_obstacles=((0.0, 1.0, 0.0, 1.0),))
+    p = parse_cfg_text("nobstacles\n0\n", base=base)
+    assert p.rect_obstacles == ()
+    base = SimParams(circle_obstacles=((0.0, 0.0, 1.0),))
+    p = parse_cfg_text("n_cir_obstacles\n0\n", base=base)
+    assert p.circle_obstacles == ()
+    # absent keys still inherit
+    p = parse_cfg_text("seed\n3\n", base=SimParams(rect_obstacles=((0.0, 1.0, 0.0, 1.0),)))
+    assert len(p.rect_obstacles) == 1
+
+
+def test_validate_rejects_bad_geometry():
+    with pytest.raises(ValueError):
+        SimParams(grid_dim=-16).validate()
+    with pytest.raises(ValueError):
+        SimParams(cell_capacity=0).validate()
+    with pytest.raises(ValueError):
+        SimParams(slot_rebuild_steps=0).validate()
+    with pytest.raises(ValueError):
+        SimParams(world_half=0.0).validate()
+
+
+def test_engine_knob_cfg_keys():
+    p = parse_cfg_text(
+        "slot_rebuild_steps\n1\noverflow_slots\n8\nworld_half\n32\n"
+    )
+    assert p.slot_rebuild_steps == 1
+    assert p.overflow_slots == 8
+    assert p.world_half == pytest.approx(32.0)

@@ -244,3 +244,44 @@ def test_resume_from_truncated_csv(tmp_path):
     sim2 = Simulation.resume_from_csv(p, str(csv))
     # last complete row is t = 1.0 (rows at t = 0, 1; t = 2 truncated)
     assert sim2.time == pytest.approx(1.0)
+
+
+def test_cell_overflow_warning():
+    """Slot-table backends drop contacts beyond cell_capacity; the run-loop
+    probe must warn when real cell occupancy exceeds it (the reference's
+    per-thread neighbor loops have no capacity cap, so an overflow is a
+    physics deviation the user must hear about)."""
+    from particlerobotsimulations_tpu import ForceBackend
+
+    p = small_params().replace(force_backend=ForceBackend.STENCIL, cell_capacity=4)
+    sim = Simulation(p)
+    n = p.n_cells
+    crowded = np.zeros((n, 2), np.float32)  # everyone in one cell
+    assert n > p.cell_capacity
+    with pytest.warns(RuntimeWarning, match="cell_capacity"):
+        sim._check_cell_overflow(crowded, 0)
+    # warns once per run only
+    sim._overflow_warned = False
+    spread = np.stack(
+        [np.arange(n, dtype=np.float32) * 2 * p.cutoff(), np.zeros(n, np.float32)],
+        axis=1,
+    )
+    sim._check_cell_overflow(np.clip(spread, -p.world_half, p.world_half), 0)
+
+
+def test_native_staleness_guard(tmp_path):
+    """A repo-local .so older than its C++ sources must be skipped (fall
+    back to numpy/PIL) rather than silently running stale code."""
+    import os
+
+    from particlerobotsimulations_tpu.render import native as rn
+
+    so = tmp_path / "libpbot_render.so"
+    src = tmp_path / "raster.cpp"
+    so.write_bytes(b"x")
+    src.write_text("//")
+    old = 1_000_000_000
+    os.utime(so, (old, old))
+    assert rn._stale(str(so)) is True
+    os.utime(src, (old - 10, old - 10))
+    assert rn._stale(str(so)) is False

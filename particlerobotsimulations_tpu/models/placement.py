@@ -31,23 +31,53 @@ from ..config import Config, SimParams
 _SQRT3 = math.sqrt(3.0)
 
 
+def config_size_x(params: SimParams) -> int:
+    """The layout's x-extent, used for the ``Nx == 0`` fallback
+    (particlebot.cpp:772-773).  Deterministic in n (seed-independent) for
+    every layout, so batched/sweep callers can resolve params once and
+    compile a single step function for all scenes."""
+    n = params.n_cells
+    cfg = params.config
+    if cfg in (Config.RANDOM, Config.GRID):
+        return int(math.ceil(math.sqrt(n)))
+    if cfg == Config.LINE:
+        return n
+    if cfg == Config.HEX:
+        return _hex_rings(n) * 2
+    if cfg in (Config.BLOB, Config.BLOB_UPLEFT, Config.LIGHTTEST_7):
+        return 4
+    raise ValueError(f"unknown layout {cfg}")
+
+
+def resolve_params(params: SimParams) -> SimParams:
+    """Apply the ``Nx == 0 -> config_size_x`` fallback without running
+    placement.  ``Simulation`` resolves via initial_state_arrays; any caller
+    compiling a step function directly from raw params (sweeps, profiling)
+    must resolve first or the actuation wave period silently differs."""
+    if params.nx == 0:
+        return params.replace(nx=config_size_x(params))
+    return params
+
+
 def place(params: SimParams, seed: int | None = None):
     """Returns (pos (n,2) float32, config_size_x: int)."""
     n = params.n_cells
     rng = np.random.default_rng(params.seed if seed is None else seed)
     cfg = params.config
     if cfg == Config.RANDOM:
-        return _random_accretion(params, rng)
-    if cfg == Config.GRID:
-        s = int(math.ceil(math.sqrt(n)))
-        return _grid(params, rng, size_x=s, size_y=s, jitter=params.max_radius * 0.01), s
-    if cfg == Config.LINE:
-        return _grid(params, rng, size_x=n, size_y=1, jitter=0.0), n
-    if cfg == Config.HEX:
-        return _hex(params)
-    if cfg in (Config.BLOB, Config.BLOB_UPLEFT, Config.LIGHTTEST_7):
-        return _fixed_blob(params, cfg), 4
-    raise ValueError(f"unknown layout {cfg}")
+        pos = _random_accretion(params, rng)
+    elif cfg == Config.GRID:
+        s = config_size_x(params)
+        pos = _grid(params, rng, size_x=s, size_y=s, jitter=params.max_radius * 0.01)
+    elif cfg == Config.LINE:
+        pos = _grid(params, rng, size_x=n, size_y=1, jitter=0.0)
+    elif cfg == Config.HEX:
+        pos = _hex(params)
+    elif cfg in (Config.BLOB, Config.BLOB_UPLEFT, Config.LIGHTTEST_7):
+        pos = _fixed_blob(params, cfg)
+    else:
+        raise ValueError(f"unknown layout {cfg}")
+    return pos, config_size_x(params)
 
 
 def _grid(params: SimParams, rng, size_x: int, size_y: int, jitter: float):
@@ -65,6 +95,17 @@ def _grid(params: SimParams, rng, size_x: int, size_y: int, jitter: float):
         )
         pos[i, 1] = 0.0  # reference zeroes y (particlebot.cpp:428)
     return pos
+
+
+def _hex_rings(n: int) -> int:
+    """Final ring counter of the hex fill loop below (== its n_ring exit
+    value): ring k holds 6*k bots; the counter increments once more after
+    the ring that reaches n."""
+    i, n_ring = 1, 1
+    while i < n:
+        i += 6 * n_ring
+        n_ring += 1
+    return n_ring
 
 
 def _hex(params: SimParams):
@@ -94,7 +135,8 @@ def _hex(params: SimParams):
             if i >= n:
                 break
         n_ring += 1
-    return pos, n_ring * 2
+    assert n_ring == _hex_rings(n)
+    return pos
 
 
 def _fixed_blob(params: SimParams, cfg: Config) -> np.ndarray:
@@ -164,6 +206,11 @@ def _random_accretion(params: SimParams, rng):
     min_x = math.inf
     inc = math.radians(10.0)
     max_failures = 200
+    # carried across bots, reset only on hitting the cap — the reference
+    # declares unsuccessful_placements OUTSIDE the per-bot loop
+    # (particlebot.cpp:630), so leftover failures from earlier bots make
+    # later bots grow their placement ring after fewer fresh rejections
+    failures = 0
 
     for i in range(1, n):
         if i == 2:
@@ -176,7 +223,6 @@ def _random_accretion(params: SimParams, rng):
             add(i, x, y)
             continue
 
-        failures = 0
         r = min_r
         while True:
             anchor = int(rng.integers(i))
@@ -208,8 +254,7 @@ def _random_accretion(params: SimParams, rng):
             y = 0.0
         add(i, x, y)
 
-    size_x = int(math.ceil(math.sqrt(n)))
-    return pos.astype(np.float32), size_x
+    return pos.astype(np.float32)
 
 
 def initial_state_arrays(params: SimParams, seed: int | None = None):

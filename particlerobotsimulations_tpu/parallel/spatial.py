@@ -13,6 +13,8 @@ per-device working set stays O(N/D * N) for the dense backend.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -27,7 +29,7 @@ from ..ops.forces import (
     pair_forces,
 )
 from ..ops.integrate import integrate
-from ..ops.phase import in_shadow, light_distance, PHASE_NEVER
+from ..ops.phase import light_distance, update_phase
 from ..state import SimState
 
 
@@ -84,7 +86,15 @@ def make_sharded_step(
         )
         return idx, mask, payload
 
-    def step_local(state: SimState) -> SimState:
+    # use_cond: the single-scene path gates phase/cog work behind real
+    # lax.conds (replicated predicates).  The composed dp x tp path vmaps
+    # this body with per-scene predicates, where a cond decays to a select
+    # (both branches run) AND trips a vma check inside shard_map — so the
+    # vmapped variant keeps the plain where-selects instead.
+    def make_step_local(use_cond: bool):
+        return functools.partial(_step_local, use_cond=use_cond)
+
+    def _step_local(state: SimState, use_cond: bool) -> SimState:
         shard = state.pos.shape[0]
         idx, mask, payload = local_masks(shard)
         time = state.step.astype(f32) * f32(dt)
@@ -106,39 +116,44 @@ def make_sharded_step(
                 me = jax.lax.axis_index(axis)
                 return d | jax.lax.dynamic_slice(killed, (me * shard,), (shard,))
 
-            dead = jax.lax.cond(
-                state.step == params.dead_step, inject, lambda d: d, dead
-            )
+            pred = state.step == params.dead_step
+            if use_cond:
+                dead = jax.lax.cond(pred, inject, lambda d: d, dead)
+            else:
+                # vmapped composed path: per-scene predicate decays a cond
+                # to a select inside shard_map (vma error) — run the gather
+                # unconditionally and select
+                dead = jnp.where(pred, inject(dead), dead)
         state = state._replace(dead=dead)
 
         # --- phase (interval gated); min-dist is a cross-device min.
         #     FIXED_PHASE keeps scripted/learned offsets untouched, matching
         #     engine.make_step (particlebot.cpp:211 gates on LIGHT_WAVE) -----
         if params.control == Control.LIGHT_WAVE:
-            dist = light_distance(params, state.pos)
-            min_d = jax.lax.pmin(
-                jnp.min(jnp.where(mask, dist, jnp.inf)), axis_name=axis
-            )
-            base = (min_d - dist) / (2.0 * f32(params.min_radius)) * f32(
-                params.rise_period
-            )
-            if params.light_shadow:
-                shadowed = in_shadow(params, state.pos)
-                blocked = (
-                    f32(-(params.nx - 1) * params.rise_period)
-                    if params.light_shadow == 1
-                    else f32(PHASE_NEVER)
+            # one shared phase law (ops/phase.update_phase) with the
+            # cross-device pmin passed through its min_d hook; a real
+            # lax.cond (replicated predicate) so the shadow raycast and the
+            # noise draw only run on the 1/phase_update_steps gated steps —
+            # mirroring engine.make_step, not a decayed select
+            def do_phase(operand):
+                pos_, phase_ = operand
+                dist = light_distance(params, pos_)
+                min_d = jax.lax.pmin(
+                    jnp.min(jnp.where(mask, dist, jnp.inf)), axis_name=axis
                 )
-                base = jnp.where(shadowed, blocked, base)
-            if params.phase_std:
                 noise_key = jax.random.fold_in(
                     jax.random.fold_in(step_key, 1), jax.lax.axis_index(axis)
                 )
-                base = base + f32(params.phase_std) * jax.random.normal(
-                    noise_key, base.shape, dtype=f32
+                return update_phase(
+                    params, pos_, phase_, mask, noise_key, min_d=min_d
                 )
+
             gate = state.step % params.phase_update_steps == 0
-            phase = jnp.where(gate & mask, base, state.phase)
+            operand = (state.pos, state.phase)
+            if use_cond:
+                phase = jax.lax.cond(gate, do_phase, lambda o: o[1], operand)
+            else:
+                phase = jnp.where(gate & mask, do_phase(operand), state.phase)
         else:
             phase = state.phase
 
@@ -188,18 +203,27 @@ def make_sharded_step(
         # from PRE-integrate positions, like engine.make_step and the
         # reference (calcCOG before integrateSystem, particlebot.cpp:207/246)
         cog_gate = state.step % params.centroid_steps_interval == 0
-        local_sum = jnp.sum(jnp.where(mask[:, None], state.pos, 0.0), axis=0)
-        centroid = jax.lax.psum(local_sum, axis) / f32(params.n_cells)
         ring_idx = (
             state.step // params.centroid_steps_interval
         ) % params.centroid_steps
-        ring = jnp.where(
-            cog_gate,
-            jax.lax.dynamic_update_slice(
-                state.centroid_ring, centroid[None, :], (ring_idx, 0)
-            ),
-            state.centroid_ring,
-        )
+
+        def write_ring(ring):
+            local_sum = jnp.sum(
+                jnp.where(mask[:, None], state.pos, 0.0), axis=0
+            )
+            centroid = jax.lax.psum(local_sum, axis) / f32(params.n_cells)
+            return jax.lax.dynamic_update_slice(
+                ring, centroid[None, :], (ring_idx, 0)
+            )
+
+        if use_cond:
+            ring = jax.lax.cond(
+                cog_gate, write_ring, lambda r: r, state.centroid_ring
+            )
+        else:
+            ring = jnp.where(
+                cog_gate, write_ring(state.centroid_ring), state.centroid_ring
+            )
 
         return SimState(
             pos=pos, vel=new_vel, rad=rad, phase=phase, dead=state.dead,
@@ -209,7 +233,10 @@ def make_sharded_step(
 
     if batch_axis is None:
         sharded = shard_map(
-            step_local, mesh=mesh, in_specs=(state_specs,), out_specs=state_specs
+            make_step_local(use_cond=True),
+            mesh=mesh,
+            in_specs=(state_specs,),
+            out_specs=state_specs,
         )
     else:
         # composed dp x tp: a leading scene-batch dim sharded over
@@ -223,7 +250,7 @@ def make_sharded_step(
             prepend, state_specs, is_leaf=lambda x: isinstance(x, P)
         )
         sharded = shard_map(
-            jax.vmap(step_local),
+            jax.vmap(make_step_local(use_cond=False)),
             mesh=mesh,
             in_specs=(state_specs,),
             out_specs=state_specs,

@@ -44,15 +44,12 @@ def make_batch_state(params: SimParams, seeds: Sequence[int]) -> SimState:
 def shard_batch(state: SimState, mesh: Mesh, axis: str = "data") -> SimState:
     """Lay the scene batch over the mesh's data axis; per-scene arrays are
     replicated-free (fully sharded on the leading dim)."""
+    # every leaf — including step counters and keys — is per-scene along the
+    # leading batch dim after make_batch_state, so all leaves shard on it
+    # (the lockstep gating in engine.make_run_chunk_batched relies on the
+    # per-scene counters advancing together)
     batch_spec = NamedSharding(mesh, P(axis))
-
-    def put(x):
-        if x.ndim == 0:
-            return jax.device_put(x, NamedSharding(mesh, P()))
-        return jax.device_put(x, batch_spec)
-
-    # step counters/keys are per-scene (leading batch dim) after make_batch_state
-    return jax.tree.map(put, state)
+    return jax.tree.map(lambda x: jax.device_put(x, batch_spec), state)
 
 
 def default_mesh(axis: str = "data") -> Mesh:
@@ -74,17 +71,21 @@ def run_sweep(
     scenes are sharded across devices and XLA partitions the whole scan —
     no code change, no per-step collectives.
     """
+    from ..config import ForceBackend
+    from ..engine_table import gate_seg
+    from ..models.placement import resolve_params
+
+    # Nx == 0 -> config_size_x, exactly as Simulation resolves it — the
+    # compiled actuation wave period must match single-scene runs
+    params = resolve_params(params.validate())
     record_every = record_every or params.dump_steps
     state = make_batch_state(params, seeds)
     if mesh is not None:
         state = shard_batch(state, mesh)
     run = make_run_chunk_batched(params)
-    from ..config import ForceBackend
-    from ..engine_table import gate_seg
-
     seg = (
-        gate_seg(params.validate())
-        if params.validate().resolved_backend() == ForceBackend.PALLAS
+        gate_seg(params)
+        if params.resolved_backend() == ForceBackend.PALLAS
         else 0
     )
 

@@ -104,8 +104,12 @@ def make_state(
         if params.has_payload:
             dead[n - 1] = True
 
-    # Padding slots are parked far outside the world and flagged dead so they
-    # can never interact even without masking; every op masks anyway.
+    # Padding slots start far outside the world and are flagged dead.  NOTE:
+    # this is NOT a standing no-interaction invariant — the integrator's
+    # boundary clamp (ops/integrate.py) pulls every row to +-world_half after
+    # one step, leaving all padding rows coincident at the world corner.
+    # Consumers MUST mask (grid bbox, force valid masks all do); never rely
+    # on padding positions staying remote.
     pos_p = pad2(pos)
     pos_p[n:] = 1.0e6 + 4.0 * np.arange(n_pad - n, dtype=np.float32)[:, None]
     key = jax.random.key(params.seed if seed is None else seed)

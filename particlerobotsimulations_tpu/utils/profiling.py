@@ -70,13 +70,29 @@ def measure_throughput(
     """Compile + time ``n_steps`` fused physics steps; returns best of reps."""
     overhead = measure_call_overhead()
     sim = Simulation(params)
+    # sim.params carries the Nx == 0 -> config_size_x resolution; compiling
+    # from the raw params would time a different actuation wave.  Every rep
+    # enters at a multiple of n_steps, so when that lands on the gate-segment
+    # boundary the run takes the same amortized-cond fast path as the
+    # official bench (seg_aligned) instead of the traced-cond slow path.
+    params = sim.params
+    seg = sim._gate_seg
     run = make_run_chunk(params)
-    state = run(sim.state, n_steps)
+    done = 0
+
+    def chunk(state):
+        nonlocal done
+        aligned = seg > 0 and done % seg == 0
+        state = run(state, n_steps, aligned)
+        done += n_steps
+        return state
+
+    state = chunk(sim.state)
     sync(state.step)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        state = run(state, n_steps)
+        state = chunk(state)
         sync(state.step)
         elapsed = time.perf_counter() - t0
         # subtract the measured per-call dispatch latency, keeping at least

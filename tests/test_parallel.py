@@ -399,3 +399,25 @@ def test_composed_dp_tp_table_loop(eight_devices):
             np.asarray(out.vel[i]), np.asarray(ref.vel), atol=1e-4,
             err_msg=f"scene {i}",
         )
+
+
+def test_sweep_resolves_nx_fallback():
+    """A sweep on Nx==0 params must compile the same actuation wave period
+    as Simulation (the reference's Nx==0 -> config_size_x fallback,
+    particlebot.cpp:772-773) — previously run_sweep built the step function
+    from the unresolved params and ran a physically different wave."""
+    from particlerobotsimulations_tpu import Config
+    from particlerobotsimulations_tpu.models.placement import (
+        config_size_x,
+        resolve_params,
+    )
+
+    p = small_params(nx=0, config=Config.HEX, n_cells=30)
+    # hex size_x (rings*2) differs from the default nx — the fallback bites
+    assert config_size_x(p) not in (0, p.nx)
+    assert resolve_params(p).nx == config_size_x(p)
+
+    _, cents = run_sweep(p, [p.seed], 400, record_every=400)
+    solo = Simulation(p)
+    solo.step_chunk(400)
+    np.testing.assert_allclose(cents[-1, 0], solo.centroid(), atol=1e-5)

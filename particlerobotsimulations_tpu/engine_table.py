@@ -222,20 +222,28 @@ def _rebuild(params: SimParams, ts: TableState) -> TableState:
     return ts._replace(fields=fields, origin=origin)
 
 
+def _payload_afac(params: SimParams, nval: jax.Array, bid: jax.Array):
+    """(pay, afac) planes from validity + bot id — THE payload attraction
+    law (reference factors at particlebot_kernel_impl.cuh:568-570), shared
+    by every relayout site (bot-order rebuild, single and batched megakernel
+    span glue) so a change lands everywhere at once."""
+    f32 = jnp.float32
+    nval_f = nval.astype(f32)
+    if params.has_payload:
+        is_pay = nval & (bid.astype(jnp.int32) == params.n_cells - 1)
+        pay = is_pay.astype(f32)
+        afac = jnp.where(
+            is_pay, f32(params.attraction_factor), f32(1.0)
+        ) * nval_f
+    else:
+        pay = jnp.zeros_like(nval_f)
+        afac = nval_f
+    return pay, afac
+
+
 def _derived_rows(params: SimParams, f: dict) -> dict:
     """Recompute the bid-derived static fields after a slot relayout."""
-    f32 = jnp.float32
-    if params.has_payload:
-        is_pay = (f["val"] > 0.5) & (
-            f["bid"].astype(jnp.int32) == params.n_cells - 1
-        )
-        f["pay"] = is_pay.astype(f32)
-        f["afac"] = jnp.where(
-            is_pay, f32(params.attraction_factor), f32(1.0)
-        ) * (f["val"] > 0.5)
-    else:
-        f["pay"] = jnp.zeros_like(f["bid"])
-        f["afac"] = (f["val"] > 0.5).astype(f32)
+    f["pay"], f["afac"] = _payload_afac(params, f["val"] > 0.5, f["bid"])
     return f
 
 
@@ -685,19 +693,9 @@ def make_run_chunk_table(params: SimParams):
             new_planes, ok = incremental_rebuild_planes(
                 params, planes, MOVE_FIELDS, origin
             )
-            f32 = jnp.float32
-            nval = new_planes[5] > 0.5
-            if params.has_payload:
-                is_pay = nval & (
-                    new_planes[8].astype(jnp.int32) == params.n_cells - 1
-                )
-                pay = is_pay.astype(f32)
-                afac = jnp.where(
-                    is_pay, f32(params.attraction_factor), f32(1.0)
-                ) * nval.astype(f32)
-            else:
-                pay = jnp.zeros_like(new_planes[8])
-                afac = nval.astype(f32)
+            pay, afac = _payload_afac(
+                params, new_planes[5] > 0.5, new_planes[8]
+            )
             # aa/ar (rows 9:11) stay unmoved: they are dead values
             # between integrate and collide (collide rewrites them)
             new_tbl = jnp.concatenate(
@@ -997,20 +995,9 @@ def make_run_chunk_table_batched(params: SimParams):
                     params, p_, MOVE_FIELDS, o
                 )
             )(planes, origin)
-            f32 = jnp.float32
-            nval = new_planes[:, 5] > 0.5
-            if params.has_payload:
-                is_pay = nval & (
-                    new_planes[:, 8].astype(jnp.int32)
-                    == params.n_cells - 1
-                )
-                pay = is_pay.astype(f32)
-                afac = jnp.where(
-                    is_pay, f32(params.attraction_factor), f32(1.0)
-                ) * nval.astype(f32)
-            else:
-                pay = jnp.zeros_like(new_planes[:, 8])
-                afac = nval.astype(f32)
+            pay, afac = _payload_afac(
+                params, new_planes[:, 5] > 0.5, new_planes[:, 8]
+            )
             new_tbl = jnp.concatenate(
                 [
                     new_planes[:, 0:6],

@@ -97,6 +97,13 @@ def mega_eligible(params: SimParams) -> bool:
     g = p.resolved_grid_dim()
     if g * g * p.storage_capacity() > MAX_ROWS:
         return False
+    # the parking strip (all n_pad bot rows, N_TF planes) also lives in
+    # scoped VMEM for the whole span — a small user-forced grid with a large
+    # bot count must fall back to the regular path, not OOM in Mosaic
+    from ..config import padded_n
+
+    if padded_n(p) > MAX_ROWS:
+        return False
     if p.resolved_overflow_slots() != 0:
         return False
     if max(1, p.slot_rebuild_steps) > 8:

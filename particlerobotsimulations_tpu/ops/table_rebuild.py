@@ -260,8 +260,10 @@ def incremental_rebuild(
     origin: jax.Array,      # (2,) f32 — the chunk's fixed grid anchor
 ):
     """Returns (new_fields, ok).  ``ok`` False means the caller must run the
-    exact full rebuild instead (>1-cell move, overflow, occupied wrapped
-    edge columns, or parked bots)."""
+    exact full rebuild instead (>1-cell move, overflow, or occupied wrapped
+    edge columns).  Parked bots do NOT veto the incremental path — they ride
+    through untouched and only get reinstatement attempts at a genuine
+    fallback or chunk entry (see the NOTE in incremental_rebuild_planes)."""
     g, cap = params.resolved_grid_dim(), params.storage_capacity()
     gg = g * g
     total = gg * cap

@@ -48,6 +48,14 @@ class Simulation:
             if params.validate().resolved_backend() == ForceBackend.PALLAS
             else 0
         )
+        if params.validate().resolved_backend() == ForceBackend.PALLAS:
+            # the table loop's edge-guard invariant (blob anchored
+            # EDGE_MARGIN cells in, wrapped edge columns never occupied)
+            # only holds when the swarm FITS the grid — an undersized
+            # user-set grid_dim would silently alias cells and corrupt the
+            # pair set, so fail loudly up front
+            pos = np.asarray(jax.device_get(state.pos[: params.n_cells]))
+            self._check_grid_fits(pos, raise_init=True)
 
     # ------------------------------------------------------------ builders
 
@@ -153,6 +161,46 @@ class Simulation:
             _, overflow = assign_slots_slotmajor(self.params, self.state.pos, mask)
             out["cell_overflow"] = int(jax.device_get(overflow))
         return out
+
+    def _check_grid_fits(
+        self, pos: np.ndarray, raise_init: bool = False, step_count: int = 0
+    ) -> None:
+        """Raise when the swarm spans more wrapped-grid cells than the table
+        can hold without aliasing (PALLAS table loop only).
+
+        The production loop anchors the blob EDGE_MARGIN cells from the
+        wrapped edge columns and compiles the force kernel edge-guarded
+        (engine_table.py); a swarm wider than grid_dim - 2*EDGE_MARGIN cells
+        wraps around the table and silently corrupts the candidate set, so
+        it is an error, not a warning."""
+        from .config import ForceBackend
+        from .ops.table_rebuild import EDGE_MARGIN
+
+        if self.params.resolved_backend() != ForceBackend.PALLAS:
+            return
+        ok = np.isfinite(pos).all(axis=1)
+        if not ok.any():
+            return
+        p = pos[ok]
+        cutoff = self.params.cutoff()
+        spanned = (
+            int((np.floor(p.max(axis=0) / cutoff) - np.floor(p.min(axis=0) / cutoff)).max())
+            + 1
+        )
+        g = self.params.resolved_grid_dim()
+        if spanned > g - 2 * EDGE_MARGIN:
+            where = (
+                "initial state"
+                if raise_init
+                else f"t={step_count * self.params.timestep:g}s"
+            )
+            raise ValueError(
+                f"swarm spans {spanned} grid cells at {where} but grid_dim="
+                f"{g} leaves only {g - 2 * EDGE_MARGIN} usable (EDGE_MARGIN="
+                f"{EDGE_MARGIN} wrapped edge columns must stay empty): the "
+                f"neighbor table would alias cells. Raise grid_dim (cfg key) "
+                f"or leave it 0 (auto)."
+            )
 
     def _check_cell_overflow(self, pos: np.ndarray, step_count: int) -> None:
         """Warn (once) when physical cell occupancy exceeds cell_capacity.
@@ -268,6 +316,7 @@ class Simulation:
                 if step_count % dump_steps == 0:
                     pos, vel, rad = self.host_view()
                     if health_check:
+                        self._check_grid_fits(pos, step_count=step_count)
                         self._check_cell_overflow(pos, step_count)
                     if health_check and not (
                         np.isfinite(pos).all() and np.isfinite(vel).all()

@@ -484,3 +484,23 @@ def test_block_scan_rebuild_schedules():
             np.asarray(out.vel), np.asarray(ref.vel), atol=1e-4
         )
         assert int(out.step) == int(ref.step)
+
+
+def test_undersized_grid_rejected():
+    """A user-set grid_dim too small for the swarm would alias wrapped
+    cells and silently corrupt the edge-guarded candidate set — Simulation
+    must refuse it up front (the auto grid sizes itself correctly)."""
+    import os
+
+    os.environ["PBOT_MEGA"] = "0"  # irrelevant here; keep compile tiny
+    try:
+        p = SimParams(
+            n_cells=2000, n_dead=0, config=Config.HEX, grid_dim=16,
+            force_backend=ForceBackend.PALLAS,
+        )
+        with pytest.raises(ValueError, match="grid_dim"):
+            Simulation(p)
+        # the same swarm on the auto grid is accepted
+        Simulation(p.replace(grid_dim=0))
+    finally:
+        os.environ.pop("PBOT_MEGA", None)

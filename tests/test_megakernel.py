@@ -68,6 +68,11 @@ def test_eligibility():
     assert not mega_eligible(
         params_(n_cells=1000, overflow_slots=8).validate()
     )
+    # a small user-forced grid with a big bot count keeps the table tiny but
+    # the parking strip huge — must fall back, not OOM the kernel's VMEM
+    assert not mega_eligible(
+        params_(n_cells=20_000, grid_dim=16).validate()
+    )
     assert not mega_eligible(
         params_(force_backend=ForceBackend.DENSE).validate()
     )

@@ -438,6 +438,83 @@ def _make_deferred_seg(
     return GR, deferred_seg
 
 
+def _make_mega_glue(params: SimParams):
+    """(mega_pack, mega_unpack, incremental_packed) for ONE scene — the
+    glue around the megakernel span (ops/megakernel.py).
+
+    The batched loop applies ``jax.vmap`` to these directly: stacking /
+    reshaping / concatenating under vmap produces exactly the
+    (B, N_TF, ...) layouts its span kernel consumes, so the glue (and any
+    fix to the plane regrouping) exists once."""
+    total_m, _, n_pad_m = _geometry(params)
+    g_m = params.resolved_grid_dim()
+    cap_m = params.storage_capacity()
+    s_sub = n_pad_m // 128
+
+    # TABLE_FIELDS layout: px0 py1 vx2 vy3 rad4 val5 afac6 phase7
+    # dead8 aa9 ar10 pay11 bid12 — MOVE_FIELDS are rows [0:6]+[7:9]
+    # +[12], so the packed rebuild slices/concats whole plane groups
+    assert TABLE_FIELDS[:6] + TABLE_FIELDS[7:9] + TABLE_FIELDS[
+        12:13
+    ] == MOVE_FIELDS
+
+    def mega_pack(fields):
+        tbl = jnp.stack(
+            [
+                fields[kf][:total_m].reshape(cap_m, g_m * g_m)
+                for kf in TABLE_FIELDS
+            ]
+        )
+        strip = jnp.stack(
+            [fields[kf][total_m:].reshape(s_sub, 128) for kf in TABLE_FIELDS]
+        )
+        return tbl, strip
+
+    def mega_unpack(tbl, strip):
+        return {
+            kf: jnp.concatenate(
+                [tbl[j].reshape(total_m), strip[j].reshape(n_pad_m)]
+            )
+            for j, kf in enumerate(TABLE_FIELDS)
+        }
+
+    def incremental_packed(tbl, origin):
+        """Unconditional incremental rebuild on the megakernel's stacked
+        (N_TF, C, gg) planes — no flat-layout round trip, no exact-fallback
+        cond (a per-span cond measured 1.4 us/step at 1k; the seg loop
+        instead ANDs the returned ``ok`` flags and redoes the WHOLE segment
+        on the regular path when any span's preconditions failed — see
+        seg_body).  When ``ok`` is False the returned planes are garbage
+        the caller must discard; all indexing is lane-structural, so
+        nothing escapes.  The parking strip passes through untouched (its
+        rows don't move, and its derived pay/afac already satisfy their
+        val/bid invariant, so the regular path's full-array _derived_rows
+        recompute is a value-level no-op there)."""
+        from .ops.table_rebuild import incremental_rebuild_planes
+
+        planes = jnp.concatenate([tbl[0:6], tbl[7:9], tbl[12:13]], axis=0)
+        new_planes, ok = incremental_rebuild_planes(
+            params, planes, MOVE_FIELDS, origin
+        )
+        pay, afac = _payload_afac(params, new_planes[5] > 0.5, new_planes[8])
+        # aa/ar (rows 9:11) stay unmoved: they are dead values between
+        # integrate and collide (collide rewrites them)
+        new_tbl = jnp.concatenate(
+            [
+                new_planes[0:6],
+                afac[None],
+                new_planes[6:8],
+                tbl[9:11],
+                pay[None],
+                new_planes[8:9],
+            ],
+            axis=0,
+        )
+        return new_tbl, ok
+
+    return mega_pack, mega_unpack, incremental_packed
+
+
 def make_table_step_parts(params: SimParams):
     """(step_pre, step_post): the physics step split around the rebuild.
 
@@ -636,80 +713,8 @@ def make_run_chunk_table(params: SimParams):
     if use_mega:
         from .ops.megakernel import make_mega_span
 
-        total_m, _, n_pad_m = _geometry(params)
-        g_m = params.resolved_grid_dim()
-        cap_m = params.storage_capacity()
-        s_sub = n_pad_m // 128
-        mega = make_mega_span(params, n_pad_m)
-
-        def mega_pack(fields):
-            tbl = jnp.stack(
-                [
-                    fields[kf][:total_m].reshape(cap_m, g_m * g_m)
-                    for kf in TABLE_FIELDS
-                ]
-            )
-            strip = jnp.stack(
-                [
-                    fields[kf][total_m:].reshape(s_sub, 128)
-                    for kf in TABLE_FIELDS
-                ]
-            )
-            return tbl, strip
-
-        def mega_unpack(tbl, strip):
-            return {
-                kf: jnp.concatenate(
-                    [tbl[j].reshape(total_m), strip[j].reshape(n_pad_m)]
-                )
-                for j, kf in enumerate(TABLE_FIELDS)
-            }
-
-        # TABLE_FIELDS layout: px0 py1 vx2 vy3 rad4 val5 afac6 phase7
-        # dead8 aa9 ar10 pay11 bid12 — MOVE_FIELDS are rows [0:6]+[7:9]
-        # +[12], so the packed rebuild slices/concats whole plane groups
-        assert TABLE_FIELDS[:6] + TABLE_FIELDS[7:9] + TABLE_FIELDS[
-            12:13
-        ] == MOVE_FIELDS
-
-        def _incremental_packed(tbl, origin):
-            """Unconditional incremental rebuild on the megakernel's
-            stacked (N_TF, C, gg) planes — no flat-layout round trip, no
-            exact-fallback cond (a per-span cond measured 1.4 us/step at
-            1k; the seg loop instead ANDs the returned ``ok`` flags and
-            redoes the WHOLE segment on the regular path when any span's
-            preconditions failed — see seg_body).  When ``ok`` is False
-            the returned planes are garbage the caller must discard; all
-            indexing is lane-structural, so nothing escapes.  The parking
-            strip passes through untouched (its rows don't move, and its
-            derived pay/afac already satisfy their val/bid invariant, so
-            the regular path's full-array _derived_rows recompute is a
-            value-level no-op there)."""
-            from .ops.table_rebuild import incremental_rebuild_planes
-
-            planes = jnp.concatenate(
-                [tbl[0:6], tbl[7:9], tbl[12:13]], axis=0
-            )
-            new_planes, ok = incremental_rebuild_planes(
-                params, planes, MOVE_FIELDS, origin
-            )
-            pay, afac = _payload_afac(
-                params, new_planes[5] > 0.5, new_planes[8]
-            )
-            # aa/ar (rows 9:11) stay unmoved: they are dead values
-            # between integrate and collide (collide rewrites them)
-            new_tbl = jnp.concatenate(
-                [
-                    new_planes[0:6],
-                    afac[None],
-                    new_planes[6:8],
-                    tbl[9:11],
-                    pay[None],
-                    new_planes[8:9],
-                ],
-                axis=0,
-            )
-            return new_tbl, ok
+        mega = make_mega_span(params, _geometry(params)[2])
+        mega_pack, mega_unpack, _incremental_packed = _make_mega_glue(params)
 
     # blocks of k steps whose LAST step rebuilds statically (no traced
     # rebuild cond in the scan body — see the note in make_table_step).
@@ -939,76 +944,25 @@ def make_run_chunk_table_batched(params: SimParams):
     use_mega = mega_eligible(params)
     if use_mega:
         from .ops.megakernel import make_mega_span
-        from .ops.table_rebuild import incremental_rebuild_planes
 
-        total_m, _, n_pad_m = _geometry(params)
-        g_m = params.resolved_grid_dim()
-        cap_m = params.storage_capacity()
-        s_sub_m = n_pad_m // 128
         vmega = jax.vmap(
-            make_mega_span(params, n_pad_m), in_axes=(0, 0, None)
+            make_mega_span(params, _geometry(params)[2]), in_axes=(0, 0, None)
         )
-
-        def mega_pack_b(fields):
-            tbl = jnp.stack(
-                [
-                    fields[kf][:, :total_m].reshape(-1, cap_m, g_m * g_m)
-                    for kf in TABLE_FIELDS
-                ],
-                axis=1,
-            )
-            strip = jnp.stack(
-                [
-                    fields[kf][:, total_m:].reshape(-1, s_sub_m, 128)
-                    for kf in TABLE_FIELDS
-                ],
-                axis=1,
-            )
-            return tbl, strip
-
-        def mega_unpack_b(tbl, strip):
-            b = tbl.shape[0]
-            return {
-                kf: jnp.concatenate(
-                    [
-                        tbl[:, j].reshape(b, total_m),
-                        strip[:, j].reshape(b, n_pad_m),
-                    ],
-                    axis=1,
-                )
-                for j, kf in enumerate(TABLE_FIELDS)
-            }
+        # the batched glue is literally the single-scene glue vmapped over
+        # the scene axis: stacking/reshaping under vmap yields exactly the
+        # (B, N_TF, ...) layouts vmega consumes (see _make_mega_glue)
+        _pack1, _unpack1, _inc1 = _make_mega_glue(params)
+        mega_pack_b = jax.vmap(_pack1)
+        mega_unpack_b = jax.vmap(_unpack1)
 
         def _incremental_packed_b(tbl, origin):
-            """Unconditional incremental rebuild over a scene axis;
-            returns (new_tbl, all-scenes ok).  The seg loop ANDs the ok
-            flags and redoes the whole segment on the regular batched
-            path when any scene's span failed (a per-scene cond under
-            vmap decays to a select that runs the exact fallback every
-            rebuild; a per-span cond costs 1.4 us/step — see the single
-            -scene loop)."""
-            planes = jnp.concatenate(
-                [tbl[:, 0:6], tbl[:, 7:9], tbl[:, 12:13]], axis=1
-            )
-            new_planes, ok = jax.vmap(
-                lambda p_, o: incremental_rebuild_planes(
-                    params, p_, MOVE_FIELDS, o
-                )
-            )(planes, origin)
-            pay, afac = _payload_afac(
-                params, new_planes[:, 5] > 0.5, new_planes[:, 8]
-            )
-            new_tbl = jnp.concatenate(
-                [
-                    new_planes[:, 0:6],
-                    afac[:, None],
-                    new_planes[:, 6:8],
-                    tbl[:, 9:11],
-                    pay[:, None],
-                    new_planes[:, 8:9],
-                ],
-                axis=1,
-            )
+            """Per-scene incremental rebuild; the seg loop ANDs the ok
+            flags and redoes the whole segment on the regular batched path
+            when ANY scene's span failed (a per-scene cond under vmap
+            decays to a select that runs the exact fallback every rebuild;
+            a per-span cond costs 1.4 us/step — see the single-scene
+            loop)."""
+            new_tbl, ok = jax.vmap(_inc1)(tbl, origin)
             return new_tbl, jnp.all(ok)
 
     @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=0)

@@ -48,13 +48,28 @@ class Simulation:
             if params.validate().resolved_backend() == ForceBackend.PALLAS
             else 0
         )
+        pos = np.asarray(jax.device_get(state.pos[: params.n_cells]))
+        span = float(np.abs(pos).max()) if pos.size else 0.0
+        if span >= params.world_half:
+            # the integrator clamps at +-world_half exactly like the
+            # reference (particlebot_kernel_impl.cuh:84-99), so bots placed
+            # outside the box pile up at the walls from step 1 — legal, but
+            # almost always a mis-sized scenario (e.g. a HEX blob > ~500k
+            # bots outgrows the default 64-unit half-world)
+            import warnings
+
+            warnings.warn(
+                f"initial swarm spans +-{span:.1f} but world_half="
+                f"{params.world_half:g}: bots outside the box are clamped "
+                "to the walls every step — raise the world_half cfg key",
+                stacklevel=2,
+            )
         if params.validate().resolved_backend() == ForceBackend.PALLAS:
             # the table loop's edge-guard invariant (blob anchored
             # EDGE_MARGIN cells in, wrapped edge columns never occupied)
             # only holds when the swarm FITS the grid — an undersized
             # user-set grid_dim would silently alias cells and corrupt the
             # pair set, so fail loudly up front
-            pos = np.asarray(jax.device_get(state.pos[: params.n_cells]))
             self._check_grid_fits(pos, raise_init=True)
 
     # ------------------------------------------------------------ builders

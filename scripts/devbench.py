@@ -1,6 +1,11 @@
 """Dev throughput probe: ms/step at a given bot count on the real TPU.
 
-Usage: python scripts/devbench.py [n_bots] [steps_per_call] [n_calls]
+Usage: python scripts/devbench.py [n_bots] [steps_per_call] [n_calls] [world_half]
+
+``world_half`` must be raised past the default 64 once the HEX blob
+outgrows the world box (>~500k bots: the 1M blob spans +-89.4 units —
+leaving the default silently clamps the outer bots at the walls and the
+measured "physics" is a pileup ring, not a swarm).
 
 Measures the single-scene table-resident loop exactly like bench.py but
 with configurable chunk length, and prints per-call wall times so the
@@ -19,6 +24,7 @@ import numpy as np
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
 STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 6000
 CALLS = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+WORLD_HALF = float(sys.argv[4]) if len(sys.argv) > 4 else 64.0
 
 
 def _sync(state):
@@ -32,9 +38,16 @@ def main():
 
     params = SimParams(
         n_cells=N, n_dead=0, seed=7, config=Config.HEX,
-        light_x=-20.0, light_y=0.0,
+        light_x=-20.0, light_y=0.0, world_half=WORLD_HALF,
     )
     sim = Simulation(params)
+    pos0 = np.asarray(jax.device_get(sim.state.pos))[: params.n_cells]
+    span = float(np.abs(pos0).max())
+    assert span < params.world_half, (
+        f"HEX blob spans +-{span:.1f} > world_half={params.world_half:g}: "
+        "the boundary clamp would pile bots at the walls — pass a larger "
+        "world_half (argv[4])"
+    )
     run = make_run_chunk(params)
     seg = gate_seg(params.validate())
     aligned = seg > 0 and STEPS % seg == 0

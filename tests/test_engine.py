@@ -163,3 +163,33 @@ def test_boundary_containment():
     sim.step_chunk(2000)
     pos, _, _ = sim.host_view()
     assert np.abs(pos).max() <= p.world_half
+
+
+def test_init_world_box_warning():
+    # placement wider than the world box: the integrator clamps exactly like
+    # the reference, so it is legal — but almost always a mis-sized scenario
+    # (e.g. a >500k-bot HEX blob outgrows the default 64-unit half-world),
+    # so Simulation warns at init
+    p = small_params(config=Config.HEX, world_half=0.4)  # 32-bot HEX spans 0.465
+    with pytest.warns(UserWarning, match="world_half"):
+        Simulation(p)
+    # a fitting swarm stays silent
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        Simulation(small_params(config=Config.HEX))
+
+
+def test_init_undersized_grid_refused():
+    # a user-forced grid_dim smaller than the swarm span would alias the
+    # wrapped neighbor table and silently corrupt the pair set on the
+    # PALLAS table loop — init must refuse
+    p = small_params(
+        n_cells=4096,
+        config=Config.HEX,
+        force_backend=ForceBackend.PALLAS,
+        grid_dim=16,
+    )
+    with pytest.raises(ValueError, match="alias"):
+        Simulation(p)

@@ -188,7 +188,14 @@ class SimParams:
     # compaction when their cell has room.  Without spill room, large
     # compressed swarms (the occupancy tail pokes past capacity every few
     # steps at 250k bots) force the expensive exact rebuild chronically.
-    # -1 => auto: 8 when n_cells > 65536 else 0.  Multiple of 8.
+    # -1 => auto: 8 when n_cells > 100_000 else 0.  Multiple of 8.  The
+    # threshold is measured on reference-density HEX phototaxis (max real
+    # occupancy over 60k steps: 15/16 at 100k, exactly 16/16 at 131k —
+    # zero margin, so spill stays on past 100k); spill costs ~7% at 100k
+    # when unused (8 extra sublanes in every rebuild/tail op).  Scenarios
+    # that compress harder degrade gracefully without spill — exact
+    # -fallback rebuilds + the parking strip + the dump-time occupancy
+    # warning — and can set this key explicitly.
     overflow_slots: int = -1
     # Rebuild the cell-slot assignment every N steps (PALLAS backend).  The
     # argsort-based assignment costs ~1/3 of a 10k-bot step; bots drift
@@ -301,7 +308,7 @@ class SimParams:
     def resolved_overflow_slots(self) -> int:
         if self.overflow_slots >= 0:
             return self.overflow_slots
-        return 8 if self.n_cells > 65536 else 0
+        return 8 if self.n_cells > 100_000 else 0
 
     def storage_capacity(self) -> int:
         """Table sublanes: force-visible capacity + spill rows."""

@@ -152,6 +152,19 @@ def test_backend_resolution():
     )
 
 
+def test_auto_overflow_slots():
+    # auto spill threshold is measured (RESULTS.md): reference-density HEX
+    # max real occupancy over 60k steps is 15/16 at 100k bots but exactly
+    # 16/16 (zero margin) at 131k — spill is pure tax (~7%) at <= 100k and
+    # insurance past it
+    assert SimParams(n_cells=100_000).resolved_overflow_slots() == 0
+    assert SimParams(n_cells=100_001).resolved_overflow_slots() == 8
+    assert SimParams(n_cells=250_000).storage_capacity() == 24
+    # explicit key overrides auto in both directions
+    assert SimParams(n_cells=250_000, overflow_slots=0).storage_capacity() == 16
+    assert SimParams(n_cells=1000, overflow_slots=8).storage_capacity() == 24
+
+
 def test_auto_grid_dim():
     p = SimParams(n_cells=10000)
     assert p.resolved_grid_dim() % 16 == 0

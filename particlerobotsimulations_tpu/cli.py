@@ -28,6 +28,10 @@ def _add_overrides(p: argparse.ArgumentParser):
     p.add_argument("--csv", type=str, default=None, help="override csv_filename")
     p.add_argument("--testing", type=int, default=None,
                    help="1 = full per-bot CSV columns (enables resume)")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force the JAX platform (e.g. 'cpu'); overrides an "
+                        "environment-pinned JAX_PLATFORMS, which clobbers "
+                        "the usual env-var override")
 
 
 def _apply_overrides(params, args):
@@ -255,6 +259,8 @@ def main(argv=None) -> int:
     sw_p.set_defaults(fn=cmd_sweep)
 
     b_p = sub.add_parser("bench", help="run the throughput benchmark")
+    b_p.add_argument("--platform", type=str, default=None,
+                     help="force the JAX platform (e.g. 'cpu')")
     b_p.set_defaults(fn=cmd_bench)
 
     ex_p = sub.add_parser(
@@ -271,6 +277,13 @@ def main(argv=None) -> int:
     ex_p.set_defaults(fn=cmd_experiment)
 
     args = ap.parse_args(argv)
+    if getattr(args, "platform", None):
+        # Must happen before any computation: the env may pin JAX_PLATFORMS
+        # to a remote relay, which clobbers a command-line env-var override,
+        # but the config update after import always wins.
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 

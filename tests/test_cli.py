@@ -57,3 +57,21 @@ def test_cli_simulate_and_checkpoint_resume(tmp_path, capsys):
     # every row carries the checkpoint's 10-bot column count
     n_fields = {len([t for t in r.split(",") if t.strip()]) for r in rows}
     assert n_fields == {1 + 5 * 10 + 3}
+
+
+def test_cli_platform_flag(tmp_path, capsys):
+    """--platform must win over an env-pinned JAX_PLATFORMS.
+
+    The test env already forces CPU (conftest), so passing the current
+    platform is a no-op — the assertion is that the flag routes through
+    jax.config.update (the only override that beats a pinned env var)
+    and the run completes on the requested backend.
+    """
+    import jax
+
+    csv = tmp_path / "out.csv"
+    cfg = _write_cfg(tmp_path, csv, n_cells=8, max_time=1.0)
+    rc = cli.main(["simulate", cfg, "--platform", "cpu", "--quiet"])
+    assert rc == 0
+    assert jax.config.jax_platforms == "cpu"
+    assert "(100 steps, 8 bots)" in capsys.readouterr().err

@@ -19,6 +19,12 @@ import sys
 import time
 
 
+_PLATFORM_HELP = (
+    "force the JAX platform (e.g. 'cpu'); overrides an environment-pinned "
+    "JAX_PLATFORMS, which clobbers the usual env-var override"
+)
+
+
 def _add_overrides(p: argparse.ArgumentParser):
     p.add_argument("--max-time", type=float, default=None, help="override max_time")
     p.add_argument("--seed", type=int, default=None)
@@ -28,10 +34,7 @@ def _add_overrides(p: argparse.ArgumentParser):
     p.add_argument("--csv", type=str, default=None, help="override csv_filename")
     p.add_argument("--testing", type=int, default=None,
                    help="1 = full per-bot CSV columns (enables resume)")
-    p.add_argument("--platform", type=str, default=None,
-                   help="force the JAX platform (e.g. 'cpu'); overrides an "
-                        "environment-pinned JAX_PLATFORMS, which clobbers "
-                        "the usual env-var override")
+    p.add_argument("--platform", type=str, default=None, help=_PLATFORM_HELP)
 
 
 def _apply_overrides(params, args):
@@ -259,8 +262,7 @@ def main(argv=None) -> int:
     sw_p.set_defaults(fn=cmd_sweep)
 
     b_p = sub.add_parser("bench", help="run the throughput benchmark")
-    b_p.add_argument("--platform", type=str, default=None,
-                     help="force the JAX platform (e.g. 'cpu')")
+    b_p.add_argument("--platform", type=str, default=None, help=_PLATFORM_HELP)
     b_p.set_defaults(fn=cmd_bench)
 
     ex_p = sub.add_parser(
@@ -277,12 +279,28 @@ def main(argv=None) -> int:
     ex_p.set_defaults(fn=cmd_experiment)
 
     args = ap.parse_args(argv)
-    if getattr(args, "platform", None):
+    if getattr(args, "platform", None) is not None:
         # Must happen before any computation: the env may pin JAX_PLATFORMS
         # to a remote relay, which clobbers a command-line env-var override,
         # but the config update after import always wins.
         import jax
 
+        try:
+            from jax._src import xla_bridge
+
+            initialized = xla_bridge.backends_are_initialized()
+        except (ImportError, AttributeError):  # pragma: no cover - jax drift
+            initialized = False
+        if initialized:
+            # jax.config.update is silently ineffective once a backend
+            # client exists (e.g. a second programmatic cli.main() call in
+            # the same process): say so instead of running on the old one.
+            print(
+                "warning: --platform set after JAX backends were already "
+                "initialized in this process; the override may not take "
+                "effect for this run",
+                file=sys.stderr,
+            )
         jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 

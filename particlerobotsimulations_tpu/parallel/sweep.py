@@ -13,6 +13,7 @@ collective at the end.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -21,9 +22,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import SimParams
-from ..engine import make_run_chunk_batched
+from ..engine import make_run_chunk, make_run_chunk_batched
 from ..models.placement import initial_state_arrays
 from ..state import SimState, make_state
+
+# Single-device execution-strategy crossover, measured on TPU (v5e,
+# docs/RESULTS.md "Sweep execution strategy"): running scenes SEQUENTIALLY
+# through the single-scene chunk runner beats on-chip vmap batching at every
+# measured scale — the megakernel band most dramatically (1k bots: 72.7M
+# sequential vs 40.5M aggregate batched, the vmapped grid repeats per-scene
+# kernel cost) and still slightly at 10k (106.4M vs 105.0M at B=8).  Batching
+# only wins when the batch is laid over a real device mesh (dp), where each
+# chip runs one scene.  Scenes above this many bots use the batched runner
+# anyway: sequential and batched are within ~1.5% there and the batched
+# runner keeps peak host memory flat (one stacked pytree, no per-scene
+# retrace risk on shape drift).
+SEQUENTIAL_MAX_CELLS = int(os.environ.get("PBOT_SWEEP_SEQ_MAX", 16384))
 
 
 def make_batch_state(params: SimParams, seeds: Sequence[int]) -> SimState:
@@ -57,19 +71,83 @@ def default_mesh(axis: str = "data") -> Mesh:
     return Mesh(devs.reshape(-1), (axis,))
 
 
+def choose_sweep_strategy(
+    params: SimParams, n_scenes: int, mesh: Mesh | None
+) -> str:
+    """Pick the sweep execution strategy: ``"sequential"`` (single-scene
+    chunk runner looped over seeds) or ``"batched"`` (scenes vmapped into
+    one stacked pytree).
+
+    With a mesh the batch IS the parallelism axis — always batched.  On one
+    device, sequential wins at every measured scale (see
+    SEQUENTIAL_MAX_CELLS); the env knob ``PBOT_SWEEP_STRATEGY`` forces
+    either for A/B runs.
+    """
+    forced = os.environ.get("PBOT_SWEEP_STRATEGY", "")
+    if forced in ("sequential", "batched"):
+        if mesh is not None and forced == "sequential":
+            raise ValueError(
+                "PBOT_SWEEP_STRATEGY=sequential is incompatible with a "
+                "device mesh (the scene batch is the sharding axis)"
+            )
+        return forced
+    if mesh is not None:
+        return "batched"
+    if n_scenes <= 1:
+        return "sequential"
+    return (
+        "sequential" if params.n_cells <= SEQUENTIAL_MAX_CELLS else "batched"
+    )
+
+
+def _run_sweep_sequential(
+    params: SimParams,
+    seeds: Sequence[int],
+    n_steps: int,
+    record_every: int,
+    seg: int,
+):
+    """Loop scenes through the SINGLE-scene chunk runner (compiled once,
+    reused across seeds — shapes are seed-independent)."""
+    run = make_run_chunk(params)
+    n = params.n_cells
+    finals = []
+    all_records = []
+    for s in seeds:
+        p_eff, pos, vel, rad, phase, dead = initial_state_arrays(
+            params.replace(seed=int(s))
+        )
+        state = make_state(p_eff, pos, vel, rad, phase, dead, seed=int(s))
+        recs = [jax.device_get(jnp.mean(state.pos[:n, :], axis=0))]
+        done = 0
+        while done < n_steps:
+            chunk = min(record_every, n_steps - done)
+            state = run(state, chunk, seg > 0 and done % seg == 0)
+            done += chunk
+            recs.append(jax.device_get(jnp.mean(state.pos[:n, :], axis=0)))
+        finals.append(state)
+        all_records.append(np.stack(recs))
+    final = jax.tree.map(lambda *xs: jnp.stack(xs), *finals)
+    # (n_records, n_scenes, 2) — same layout as the batched recorder
+    return final, np.stack(all_records, axis=1)
+
+
 def run_sweep(
     params: SimParams,
     seeds: Sequence[int],
     n_steps: int,
     mesh: Mesh | None = None,
     record_every: int | None = None,
+    strategy: str | None = None,
 ):
     """Run ``len(seeds)`` scenes for ``n_steps``; returns
     (final_state, centroid_trajectories (n_records, n_scenes, 2)).
 
     ``record_every`` defaults to the scenario dump interval.  With a mesh,
     scenes are sharded across devices and XLA partitions the whole scan —
-    no code change, no per-step collectives.
+    no code change, no per-step collectives.  Without one, the execution
+    strategy (sequential single-scene chunks vs on-chip vmap batch) is
+    picked by the measured crossover — see ``choose_sweep_strategy``.
     """
     from ..config import ForceBackend
     from ..engine_table import gate_seg
@@ -79,15 +157,19 @@ def run_sweep(
     # compiled actuation wave period must match single-scene runs
     params = resolve_params(params.validate())
     record_every = record_every or params.dump_steps
-    state = make_batch_state(params, seeds)
-    if mesh is not None:
-        state = shard_batch(state, mesh)
-    run = make_run_chunk_batched(params)
     seg = (
         gate_seg(params)
         if params.resolved_backend() == ForceBackend.PALLAS
         else 0
     )
+    strategy = strategy or choose_sweep_strategy(params, len(seeds), mesh)
+    if strategy == "sequential":
+        return _run_sweep_sequential(params, seeds, n_steps, record_every, seg)
+
+    state = make_batch_state(params, seeds)
+    if mesh is not None:
+        state = shard_batch(state, mesh)
+    run = make_run_chunk_batched(params)
 
     n = params.n_cells
     records = []

@@ -44,6 +44,47 @@ def test_sweep_sharded_equals_unsharded(eight_devices):
     np.testing.assert_allclose(sharded, local, atol=1e-5)
 
 
+def test_sweep_strategy_choice(monkeypatch):
+    """Regression-pin the execution-strategy policy: sequential single-scene
+    chunks on one device up to the measured crossover, batched with a mesh
+    or above it, with the env knob forcing either (docs/RESULTS.md)."""
+    from particlerobotsimulations_tpu.parallel.sweep import (
+        SEQUENTIAL_MAX_CELLS,
+        choose_sweep_strategy,
+    )
+
+    p = small_params()
+    monkeypatch.delenv("PBOT_SWEEP_STRATEGY", raising=False)
+    assert choose_sweep_strategy(p, 8, None) == "sequential"
+    assert choose_sweep_strategy(p, 1, None) == "sequential"
+    big = p.replace(n_cells=SEQUENTIAL_MAX_CELLS + 1)
+    assert choose_sweep_strategy(big, 8, None) == "batched"
+    mesh = default_mesh()
+    assert choose_sweep_strategy(p, 8, mesh) == "batched"
+    monkeypatch.setenv("PBOT_SWEEP_STRATEGY", "batched")
+    assert choose_sweep_strategy(p, 8, None) == "batched"
+    monkeypatch.setenv("PBOT_SWEEP_STRATEGY", "sequential")
+    assert choose_sweep_strategy(big, 8, None) == "sequential"
+    with pytest.raises(ValueError):
+        choose_sweep_strategy(p, 8, mesh)  # sequential can't shard a mesh
+
+
+def test_sweep_sequential_matches_batched():
+    """The two single-device execution strategies must agree scene-by-scene
+    (short horizon — chaotic contact dynamics decorrelate longer runs)."""
+    p = small_params()
+    seeds = [0, 1, 2]
+    fin_s, seq = run_sweep(p, seeds, 24, record_every=12, strategy="sequential")
+    fin_b, bat = run_sweep(p, seeds, 24, record_every=12, strategy="batched")
+    assert seq.shape == bat.shape == (3, 3, 2)
+    np.testing.assert_allclose(seq, bat, atol=1e-5)
+    # the stacked final pytrees must be layout-compatible across strategies
+    assert fin_s.pos.shape == fin_b.pos.shape
+    np.testing.assert_allclose(
+        np.asarray(fin_s.pos), np.asarray(fin_b.pos), atol=1e-5
+    )
+
+
 def test_sweep_summary_shapes():
     p = small_params()
     _, cents = run_sweep(p, [0, 1], 100, record_every=50)

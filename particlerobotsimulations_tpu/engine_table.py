@@ -38,6 +38,7 @@ reference's host ``rand()`` has to either (documented in README deviations).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -351,6 +352,22 @@ def gate_seg(params: SimParams) -> int:
     return seg
 
 
+def _unroll_body_default(total_rows: int) -> bool:
+    """Whether k-step rebuild blocks unroll their gateless steps inline.
+
+    Unrolling k force-kernel instances into one scan body multiplies XLA
+    compile time by the body size: fine to ~100k bots (gg*cap ~ 600k rows),
+    but minutes at 250k (1.4M rows).  Large tables use an inner scan for
+    the k-1 gateless steps instead — 2 step instances; the scan-boundary
+    cost (~7 us at 10k) is noise at those step times.  PBOT_UNROLL_BODY=0/1
+    forces either (A/B + small-table test coverage of the big-table path).
+    """
+    env = os.environ.get("PBOT_UNROLL_BODY", "")
+    if env:
+        return env != "0"
+    return total_rows <= (1 << 20)
+
+
 def _make_deferred_seg(
     k: int,
     unroll_body: bool,
@@ -391,9 +408,10 @@ def _make_deferred_seg(
                 for j in range(k - 1):
                     ts = step_at(ts, False, gated=False)
             else:
-                ts = step_at(ts, False, gated=False)
-                if k > 2:
-                    ts, _ = jax.lax.scan(plain_u, ts, None, length=k - 2)
+                # all k-1 head steps are ungated -> ONE shared scan body
+                # (a standalone entry step instance would only bloat the
+                # large-table compile this path exists to contain)
+                ts, _ = jax.lax.scan(plain_u, ts, None, length=k - 1)
         ts = pre_nc(ts)
         ts, ok = rebuild_nc(ts)
         return (post_nc(ts), okacc & ok), None
@@ -723,13 +741,8 @@ def make_run_chunk_table(params: SimParams):
     # chunk's starting step.  Unrolled only for small k; a huge k (exact
     # per-chunk mode or ablations) scans single no-rebuild steps instead.
     unroll_blocks = 1 < k <= 8
-    # unrolling k force-kernel instances into one scan body multiplies XLA
-    # compile time by the body size: fine to ~100k bots (gg*cap ~ 600k
-    # rows), but ~4 min at 250k (1.4M rows).  Large tables use an inner
-    # scan for the k-1 gateless steps instead — 2 step instances; its scan
-    # -boundary cost (~7 us at 10k) is noise at these step times.
     total_rows = _geometry(params)[0]
-    unroll_body = total_rows <= (1 << 20)
+    unroll_body = _unroll_body_default(total_rows)
     # small tables are dominated by fixed per-step costs (op dispatch, scan
     # boundary): unroll the gateless inner scan to amortize them.  Larger
     # tables gain nothing (measured at 10k) and only pay compile time.
@@ -757,6 +770,11 @@ def make_run_chunk_table(params: SimParams):
             if unroll_body:
                 for j in range(k):
                     ts = step_at(ts, j == k - 1, gated=first_gated and j == 0)
+            elif k > 1 and not first_gated:
+                # ungated block: fold the entry step into the inner scan —
+                # one fewer compiled step instance per large-table body
+                ts, _ = jax.lax.scan(plain_u, ts, None, length=k - 1)
+                ts = step_at(ts, True, gated=False)
             else:
                 ts = step_at(ts, k == 1, gated=first_gated)
                 if k > 1:
@@ -812,7 +830,11 @@ def make_run_chunk_table(params: SimParams):
                 lambda ts: step_pre_f(ts, False, False, False),
                 rebuild_nc, step_post_f, block_at,
             )
-            use_defer = bps - 1 >= GR and (k == 1 or unroll_blocks)
+            use_defer = (
+                bps - 1 >= GR
+                and (k == 1 or unroll_blocks)
+                and os.environ.get("PBOT_DEFER", "1") != "0"
+            )
 
             def seg_body(ts: TableState, _):
                 if not (bps > 1 and use_mega):
@@ -930,7 +952,7 @@ def make_run_chunk_table_batched(params: SimParams):
     vpre = jax.vmap(step_pre, in_axes=(0, None, None, None))
     vpost = jax.vmap(step_post)
     unroll_blocks = 1 < k <= 8
-    unroll_body = _geometry(params)[0] <= (1 << 20)
+    unroll_body = _unroll_body_default(_geometry(params)[0])
 
     seg = gate_seg(params)
 
@@ -990,6 +1012,11 @@ def make_run_chunk_table_batched(params: SimParams):
             if unroll_body:
                 for j in range(k):
                     ts = step_at(ts, j == k - 1, gated=first_gated and j == 0)
+            elif k > 1 and not first_gated:
+                # fold the ungated entry step into the inner scan (see the
+                # single-scene loop)
+                ts, _ = jax.lax.scan(plain_u, ts, None, length=k - 1)
+                ts = step_at(ts, True, gated=False)
             else:
                 ts = step_at(ts, k == 1, gated=first_gated)
                 if k > 1:
@@ -1049,7 +1076,11 @@ def make_run_chunk_table_batched(params: SimParams):
                 lambda ts: vpre(ts, False, False, False),
                 rebuild_nc, vpost, block_at,
             )
-            use_defer = bps - 1 >= GR and (k == 1 or unroll_blocks)
+            use_defer = (
+                bps - 1 >= GR
+                and (k == 1 or unroll_blocks)
+                and os.environ.get("PBOT_DEFER", "1") != "0"
+            )
 
             def seg_body(ts: TableState, _):
                 if not (bps > 1 and use_mega):

@@ -209,6 +209,59 @@ def test_deferred_fallback_groups_bitwise():
         os.environ.pop("PBOT_MEGA", None)
 
 
+def test_nounroll_body_matches_unrolled():
+    """The large-table scan-body form (PBOT_UNROLL_BODY=0: inner scan over
+    the k-1 gateless steps, with the ungated entry step FOLDED into the
+    scan — the compile-containment schedule tables > 2^20 rows use) must
+    reproduce the default unrolled schedule, on both the deferred-group
+    fast path and the forced-redo path.  The two are different XLA
+    programs, so tolerance-level agreement, not bitwise (FMA contraction
+    flips 1-ulp roundings across program shapes)."""
+    import os
+
+    from particlerobotsimulations_tpu.engine_table import gate_seg
+
+    # seg = gcd(32, 64) = 32, k = 4 -> bps - 1 = 7 = one GR=7 group
+    p = params_(n_cells=128, centroid_int=0.32, phase_update_interval=0.64)
+    assert gate_seg(p.validate()) == 32
+
+    os.environ["PBOT_MEGA"] = "0"
+    try:
+        run_unrolled = make_run_chunk_table(p)
+        os.environ["PBOT_UNROLL_BODY"] = "0"
+        run_scan = make_run_chunk_table(p)
+    finally:
+        os.environ.pop("PBOT_UNROLL_BODY", None)
+        os.environ.pop("PBOT_MEGA", None)
+
+    def state0(kick: float):
+        st = jitter(Simulation(p).state)
+        if kick:
+            import jax.numpy as jnp
+
+            kickv = jnp.zeros_like(st.vel).at[7, 0].set(kick)
+            st = st._replace(vel=st.vel + kickv)
+        return st
+
+    # 32 steps = exactly one segment: gated entry block + one GR=7 deferred
+    # group.  The 1-ulp FMA seeds amplify chaotically (measured: 1.5e-8 at
+    # 4 steps, 1.6e-5 at 32, 2e-2 at 70) — one segment is the longest
+    # horizon where per-bot tolerances stay meaningful.
+    for kick in (0.0, 60.0):  # 60: every group fails -> folded redo path
+        a = run_unrolled(state0(kick), 32, True)
+        b = run_scan(state0(kick), 32, True)
+        np.testing.assert_allclose(
+            np.asarray(a.pos), np.asarray(b.pos), atol=1e-4,
+            err_msg=f"pos kick={kick}",
+        )
+        # velocities amplify the seeds ~dt^-1 (100x) faster than positions
+        np.testing.assert_allclose(
+            np.asarray(a.vel), np.asarray(b.vel), atol=1e-2,
+            err_msg=f"vel kick={kick}",
+        )
+        assert int(b.step) == 32
+
+
 def test_deferred_fallback_groups_bitwise_batched():
     """Batched twin of the deferred-group bitwise check: one scene gets a
     >1-cell-per-window kick so every group's all-scenes ok fails and the

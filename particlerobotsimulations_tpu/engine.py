@@ -31,6 +31,7 @@ between dumps.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable
 
 import jax
@@ -212,6 +213,28 @@ def make_step(
     return step
 
 
+# Chunk runners are cached per (kind, params, construction-affecting env
+# knobs, backend): SimParams is frozen/hashable, and a fresh closure per
+# call would defeat jax's jit cache — every repeated make_run_chunk (e.g.
+# run_sweep invoked per robustness fraction, or twice in a process) would
+# re-trace and re-compile the whole chunk program.  The env knobs and the
+# resolved platform are part of the key because they change the traced
+# program (PBOT_MEGA/PBOT_DEFER/PBOT_UNROLL_BODY at make time; AUTO backend
+# resolution by platform).
+_RUN_CHUNK_CACHE: dict = {}
+
+
+def _chunk_cache_key(kind: str, params: SimParams):
+    return (
+        kind,
+        params,
+        os.environ.get("PBOT_MEGA"),
+        os.environ.get("PBOT_DEFER"),
+        os.environ.get("PBOT_UNROLL_BODY"),
+        jax.default_backend(),
+    )
+
+
 def make_run_chunk(params: SimParams) -> Callable[[SimState, int], SimState]:
     """``run_chunk(state, n_steps)`` — n_steps of physics fused in one jitted
     ``lax.scan``; n_steps is static (one compile per distinct chunk size).
@@ -219,6 +242,18 @@ def make_run_chunk(params: SimParams) -> Callable[[SimState, int], SimState]:
     The PALLAS backend runs the table-resident loop (engine_table.py): all
     state stays in the slot-major cell table between rebuilds, eliminating
     the per-step scatter/gather plumbing entirely."""
+    key = _chunk_cache_key("single", params)
+    cached = _RUN_CHUNK_CACHE.get(key)
+    if cached is not None:
+        return cached
+    run = _make_run_chunk_uncached(params)
+    if len(_RUN_CHUNK_CACHE) > 16:  # bound compiled-executable retention
+        _RUN_CHUNK_CACHE.clear()
+    _RUN_CHUNK_CACHE[key] = run
+    return run
+
+
+def _make_run_chunk_uncached(params: SimParams):
     if params.validate().resolved_backend() == ForceBackend.PALLAS:
         from .engine_table import make_run_chunk_table
 
@@ -256,6 +291,18 @@ def make_run_chunk_batched(params: SimParams) -> Callable:
     cli sweep/experiment) start every scene at step 0 and advance them
     together; assemble ad-hoc batches the same way or run them unbatched.
     """
+    key = _chunk_cache_key("batched", params)
+    cached = _RUN_CHUNK_CACHE.get(key)
+    if cached is not None:
+        return cached
+    run = _make_run_chunk_batched_uncached(params)
+    if len(_RUN_CHUNK_CACHE) > 16:
+        _RUN_CHUNK_CACHE.clear()
+    _RUN_CHUNK_CACHE[key] = run
+    return run
+
+
+def _make_run_chunk_batched_uncached(params: SimParams):
     if params.validate().resolved_backend() == ForceBackend.PALLAS:
         from .engine_table import make_run_chunk_table_batched
 

@@ -26,18 +26,27 @@ from ..engine import make_run_chunk, make_run_chunk_batched
 from ..models.placement import initial_state_arrays
 from ..state import SimState, make_state
 
-# Single-device execution-strategy crossover, measured on TPU (v5e,
-# docs/RESULTS.md "Sweep execution strategy"): running scenes SEQUENTIALLY
-# through the single-scene chunk runner beats on-chip vmap batching at every
-# measured scale — the megakernel band most dramatically (1k bots: 72.7M
-# sequential vs 40.5M aggregate batched, the vmapped grid repeats per-scene
-# kernel cost) and still slightly at 10k (106.4M vs 105.0M at B=8).  Batching
-# only wins when the batch is laid over a real device mesh (dp), where each
-# chip runs one scene.  Scenes above this many bots use the batched runner
-# anyway: sequential and batched are within ~1.5% there and the batched
-# runner keeps peak host memory flat (one stacked pytree, no per-scene
-# retrace risk on shape drift).
-SEQUENTIAL_MAX_CELLS = int(os.environ.get("PBOT_SWEEP_SEQ_MAX", 16384))
+# Single-device execution-strategy policy, measured on TPU through
+# run_sweep itself (v5e, scripts/sweepbench.py, 8 seeds x 30k steps at the
+# real dump-interval record cadence — docs/RESULTS.md "Sweep execution
+# strategy"):
+#
+#   bots   sequential  batched   winner
+#   300      16.1M      30.9M    batched  (DENSE: per-scene chunk dispatch
+#                                          ~24 ms dominates sequential)
+#   1000     37.8M      29.7M    sequential (megakernel band: the vmapped
+#                                          span grid repeats per-scene
+#                                          kernel cost; regular-batched is
+#                                          no better, 27.7M)
+#   2000     55.1M vs 47.9M      batched
+#   4000     90.3M vs 77.3M      batched
+#   10000    99.9M vs 96.2M      batched
+#
+# So: ON-CHIP batching wins everywhere EXCEPT the megakernel-eligible band
+# (PALLAS backend, G=16 tables, <= ~1.2k bots), where a single scene's
+# span kernel is so much faster than its vmapped twin that it beats the
+# dispatch amortization.  With a device mesh the batch IS the parallelism
+# axis — always batched.
 
 
 def make_batch_state(params: SimParams, seeds: Sequence[int]) -> SimState:
@@ -95,9 +104,15 @@ def choose_sweep_strategy(
         return "batched"
     if n_scenes <= 1:
         return "sequential"
-    return (
-        "sequential" if params.n_cells <= SEQUENTIAL_MAX_CELLS else "batched"
-    )
+    from ..config import ForceBackend
+    from ..ops.megakernel import mega_eligible
+
+    if (
+        params.resolved_backend() == ForceBackend.PALLAS
+        and mega_eligible(params)
+    ):
+        return "sequential"
+    return "batched"
 
 
 def _run_sweep_sequential(
@@ -118,18 +133,24 @@ def _run_sweep_sequential(
             params.replace(seed=int(s))
         )
         state = make_state(p_eff, pos, vel, rad, phase, dead, seed=int(s))
-        recs = [jax.device_get(jnp.mean(state.pos[:n, :], axis=0))]
+        # centroids stay ON DEVICE until the end: a per-chunk device_get
+        # costs a full relay round-trip (~24 ms) and serializes the chunk
+        # pipeline; deferred fetches let chunks queue back-to-back
+        recs = [jnp.mean(state.pos[:n, :], axis=0)]
         done = 0
         while done < n_steps:
             chunk = min(record_every, n_steps - done)
             state = run(state, chunk, seg > 0 and done % seg == 0)
             done += chunk
-            recs.append(jax.device_get(jnp.mean(state.pos[:n, :], axis=0)))
+            recs.append(jnp.mean(state.pos[:n, :], axis=0))
         finals.append(state)
-        all_records.append(np.stack(recs))
+        all_records.append(recs)
     final = jax.tree.map(lambda *xs: jnp.stack(xs), *finals)
-    # (n_records, n_scenes, 2) — same layout as the batched recorder
-    return final, np.stack(all_records, axis=1)
+    # (n_records, n_scenes, 2) — same layout as the batched recorder; the
+    # single np.asarray here is the only host sync of the whole sweep
+    return final, np.asarray(
+        [[np.asarray(r) for r in recs] for recs in all_records]
+    ).transpose(1, 0, 2)
 
 
 def run_sweep(
@@ -178,13 +199,14 @@ def run_sweep(
         return jnp.mean(s.pos[:, :n, :], axis=1)
 
     done = 0  # scenes start at step 0 and advance in lockstep
-    records.append(jax.device_get(centroid(state)))
+    # deferred host fetches: see _run_sweep_sequential
+    records.append(centroid(state))
     while done < n_steps:
         chunk = min(record_every, n_steps - done)
         state = run(state, chunk, seg > 0 and done % seg == 0)
         done += chunk
-        records.append(jax.device_get(centroid(state)))
-    return state, np.stack(records)
+        records.append(centroid(state))
+    return state, np.stack([np.asarray(r) for r in records])
 
 
 def sweep_summary(centroids: np.ndarray, params: SimParams):

@@ -1,0 +1,202 @@
+"""Per-component floor decomposition of the table-resident step (VERDICT r3 #2/#5).
+
+Measures each stage of the production PALLAS step as its own DCE-proof
+scan loop (every output feeds back into the scan carry — partial feedback
+lets XLA dead-code-eliminate and produces fantasy timings, the round-2
+lesson in CLAUDE.md) and prints a component table:
+
+  full        — the real run_chunk (the number the scaling table reports)
+  post        — step_post: force kernel + obstacle + stick-slip tail
+  kernel      — candidate preshift + the Pallas pair kernel alone
+  preshift    — the 5-block flat-roll candidate preshift alone
+  pre         — step_pre with all gates statically off (radius + integrate)
+  rebuild     — the unconditional incremental compaction (runs 1/k steps)
+  carry       — a trivial body on the same TableState carry (scan floor)
+
+Components overlap (kernel ⊂ post) and fuse differently in isolation than
+inside the full step, so they don't sum exactly — the table reports the
+residual as "unattributed".
+
+Usage: python scripts/floor_decomp.py [n_bots] [iters]
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 6000
+
+
+def _sync(x):
+    return np.asarray(jax.device_get(jax.tree.leaves(x)[0].ravel()[0]))
+
+
+def _time_scan(fn, carry, iters, reps=3):
+    """Best-of-reps seconds for ``iters`` iterations of ``fn`` (jitted scan)."""
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def run(c, n):
+        def body(c, _):
+            return fn(c), None
+
+        c, _ = jax.lax.scan(body, c, None, length=n)
+        return c
+
+    c = run(carry, iters)  # compile + warmup
+    _sync(c)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        c = run(c, iters)
+        _sync(c)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    from particlerobotsimulations_tpu import Config, SimParams, Simulation
+    from particlerobotsimulations_tpu.engine import make_run_chunk
+    from particlerobotsimulations_tpu.engine_table import (
+        KERNEL_FIELDS,
+        MOVE_FIELDS,
+        _geometry,
+        _stencil_forces_pallas,
+        enter_table,
+        gate_seg,
+        make_table_step_parts,
+    )
+
+    params = SimParams(
+        n_cells=N, n_dead=0, seed=7, config=Config.HEX,
+        light_x=-20.0, light_y=0.0,
+    ).validate()
+    sim = Simulation(params)
+    k = max(1, params.slot_rebuild_steps)
+    g, cap = params.resolved_grid_dim(), params.cell_capacity
+    force_total = g * g * cap
+    ts0 = jax.jit(lambda s: enter_table(params, s))(sim.state)
+    _sync(ts0)
+    step_pre, step_post = make_table_step_parts(params)
+
+    results = {}
+
+    # full: the real chunk runner (same protocol as devbench)
+    run = make_run_chunk(params)
+    seg = gate_seg(params)
+    aligned = seg > 0 and ITERS % seg == 0
+    state = run(sim.state, ITERS, aligned)
+    _sync(state)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state = run(state, ITERS, aligned)
+        _sync(state)
+        best = min(best, time.perf_counter() - t0)
+    results["full"] = best
+
+    # carry floor: trivial body on the same TableState pytree
+    def carry_body(ts):
+        f = dict(ts.fields)
+        f["px"] = f["px"] + jnp.float32(1e-30)
+        return ts._replace(fields=f, step=ts.step + 1)
+
+    results["carry"] = _time_scan(carry_body, ts0, ITERS)
+
+    # pre: radius controller + integrate/boundary (gates statically off)
+    def pre_body(ts):
+        return step_pre(ts, False, False, False)
+
+    results["pre"] = _time_scan(pre_body, ts0, ITERS)
+
+    # post: force kernel + obstacles + stick-slip
+    results["post"] = _time_scan(step_post, ts0, ITERS)
+
+    # kernel: preshift + pallas pair kernel, outputs fed into vx/vy/aa/ar
+    def kernel_body(ts):
+        f = dict(ts.fields)
+        tables = {
+            kf: f[kf][:force_total].reshape(cap, g * g)
+            for kf in KERNEL_FIELDS
+        }
+        fx, fy, fa, fr = _stencil_forces_pallas(params, tables, True)
+        pad = _geometry(params)[1] - force_total
+        z = jnp.zeros((pad,), jnp.float32)
+        f["vx"] = f["vx"] + jnp.float32(1e-30) * jnp.concatenate(
+            [fx.reshape(force_total), z]
+        )
+        f["vy"] = f["vy"] + jnp.float32(1e-30) * jnp.concatenate(
+            [fy.reshape(force_total), z]
+        )
+        f["aa"] = jnp.concatenate([fa.reshape(force_total), z])
+        f["ar"] = jnp.concatenate([fr.reshape(force_total), z])
+        return ts._replace(fields=f, step=ts.step + 1)
+
+    results["kernel"] = _time_scan(kernel_body, ts0, ITERS)
+
+    # preshift: the 5-block flat-roll candidate stack alone
+    from particlerobotsimulations_tpu.ops.pallas_stencil import (
+        OFFSETS,
+        _preshift_flat,
+    )
+
+    def preshift_body(ts):
+        f = dict(ts.fields)
+        base = jnp.stack(
+            [
+                f[kf][:force_total].reshape(cap, g * g)
+                for kf in KERNEL_FIELDS
+            ]
+        )
+        blocks = [_preshift_flat(base, g, dx, dy, False) for dx, dy in OFFSETS]
+        acc = functools.reduce(jnp.add, blocks)
+        f["vx"] = f["vx"] + jnp.float32(1e-30) * jnp.concatenate(
+            [acc[0].reshape(force_total),
+             jnp.zeros((_geometry(params)[1] - force_total,), jnp.float32)]
+        )
+        return ts._replace(fields=f, step=ts.step + 1)
+
+    results["preshift"] = _time_scan(preshift_body, ts0, ITERS)
+
+    # rebuild: unconditional incremental compaction (executes 1/k steps)
+    from particlerobotsimulations_tpu.ops.table_rebuild import (
+        incremental_rebuild,
+    )
+
+    def rebuild_body(ts):
+        moved, ok = incremental_rebuild(params, ts.fields, MOVE_FIELDS,
+                                        ts.origin)
+        f = dict(ts.fields)
+        f.update(moved)
+        # fold ok into a carried field so the precondition math survives
+        f["px"] = f["px"] + jnp.float32(1e-30) * ok.astype(jnp.float32)
+        return ts._replace(fields=f, step=ts.step + 1)
+
+    n_reb = max(ITERS // k, 1)
+    results["rebuild"] = _time_scan(rebuild_body, ts0, n_reb) * k  # scale to
+    # per-physics-step iters for the table below (printed /k as amortized)
+
+    us = {kk: v / ITERS * 1e6 for kk, v in results.items()}
+    print(f"\nn={N} (grid {g}, cap {cap}, k={k}), {ITERS}-step scans, "
+          f"best of 3, us/step:")
+    for kk in ("full", "post", "kernel", "preshift", "pre", "carry"):
+        print(f"  {kk:9s} {us[kk]:8.2f}")
+    print(f"  rebuild   {us['rebuild']:8.2f} raw -> "
+          f"{us['rebuild'] / k:.2f} amortized (1/{k} steps)")
+    attributed = (
+        us["post"] + us["pre"] - us["carry"] + us["rebuild"] / k
+    )
+    print(f"  attributed (post + pre - carry + rebuild/k) = "
+          f"{attributed:.2f}; full = {us['full']:.2f}; "
+          f"unattributed = {us['full'] - attributed:.2f}")
+    print(f"  throughput: {N / us['full']:.1f}M particle-steps/s")
+
+
+if __name__ == "__main__":
+    main()

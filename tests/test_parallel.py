@@ -45,26 +45,40 @@ def test_sweep_sharded_equals_unsharded(eight_devices):
 
 
 def test_sweep_strategy_choice(monkeypatch):
-    """Regression-pin the execution-strategy policy: sequential single-scene
-    chunks on one device up to the measured crossover, batched with a mesh
-    or above it, with the env knob forcing either (docs/RESULTS.md)."""
+    """Regression-pin the execution-strategy policy (measured on TPU,
+    docs/RESULTS.md "Sweep execution strategy"): on one device, sequential
+    single-scene chunks ONLY in the megakernel-eligible band (PALLAS, G=16
+    tables) where the vmapped span grid repeats per-scene kernel cost;
+    batched everywhere else and always with a mesh; env knob forces."""
+    from particlerobotsimulations_tpu.ops.megakernel import mega_eligible
     from particlerobotsimulations_tpu.parallel.sweep import (
-        SEQUENTIAL_MAX_CELLS,
         choose_sweep_strategy,
     )
 
-    p = small_params()
     monkeypatch.delenv("PBOT_SWEEP_STRATEGY", raising=False)
-    assert choose_sweep_strategy(p, 8, None) == "sequential"
-    assert choose_sweep_strategy(p, 1, None) == "sequential"
-    big = p.replace(n_cells=SEQUENTIAL_MAX_CELLS + 1)
-    assert choose_sweep_strategy(big, 8, None) == "batched"
-    mesh = default_mesh()
-    assert choose_sweep_strategy(p, 8, mesh) == "batched"
-    monkeypatch.setenv("PBOT_SWEEP_STRATEGY", "batched")
+    # megakernel band (PALLAS, G=16): sequential
+    p_mega = small_params(
+        n_cells=128, force_backend=ForceBackend.PALLAS
+    ).validate()
+    assert mega_eligible(p_mega)
+    assert choose_sweep_strategy(p_mega, 8, None) == "sequential"
+    # outside the band (bigger grid): batched
+    p_big = small_params(
+        n_cells=4000, force_backend=ForceBackend.PALLAS
+    ).validate()
+    assert not mega_eligible(p_big)
+    assert choose_sweep_strategy(p_big, 8, None) == "batched"
+    # non-PALLAS backends: batched (chunk dispatch dominates sequential)
+    p = small_params()
     assert choose_sweep_strategy(p, 8, None) == "batched"
+    # single scene: nothing to batch
+    assert choose_sweep_strategy(p, 1, None) == "sequential"
+    mesh = default_mesh()
+    assert choose_sweep_strategy(p_mega, 8, mesh) == "batched"
+    monkeypatch.setenv("PBOT_SWEEP_STRATEGY", "batched")
+    assert choose_sweep_strategy(p_mega, 8, None) == "batched"
     monkeypatch.setenv("PBOT_SWEEP_STRATEGY", "sequential")
-    assert choose_sweep_strategy(big, 8, None) == "sequential"
+    assert choose_sweep_strategy(p_big, 8, None) == "sequential"
     with pytest.raises(ValueError):
         choose_sweep_strategy(p, 8, mesh)  # sequential can't shard a mesh
 

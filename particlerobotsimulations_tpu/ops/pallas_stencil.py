@@ -160,9 +160,16 @@ def _pair_block(
     """
     f32 = jnp.float32
     eps = f32(1.0e-12)
+    legacy = os.environ.get("PBOT_PAIRMATH", "") == "legacy"
     dx = c["px"] - t["px"]
     dy = c["py"] - t["py"]
-    d2 = jnp.maximum(dx * dx + dy * dy, eps * eps)
+    if legacy:
+        d2 = jnp.maximum(dx * dx + dy * dy, eps * eps)
+    else:
+        # + eps^2 instead of max(., eps^2): bitwise-identical for every
+        # real pair (d2 ~ 1e-3 ULP-absorbs 1e-24) and equal at the
+        # degenerate d2 == 0 point; one fewer vector op per block
+        d2 = dx * dx + dy * dy + eps * eps
     inv_dist = jax.lax.rsqrt(d2)
     dist = d2 * inv_dist
     nx = dx * inv_dist
@@ -198,12 +205,27 @@ def _pair_block(
     fcy = -spring * (cd - dist) * ny + damping * rvy + shear * ty
 
     gap = dist - cd
-    attr = f32(params.attraction) * t["afac"] * c["afac"]
+    if params.has_payload or legacy:
+        attr = f32(params.attraction) * t["afac"] * c["afac"]
+    else:
+        # no payload -> every afac plane is exactly val (1.0 on occupied
+        # rows), so attr folds to the scalar: the valid factor re-enters
+        # through the `attract` mask on every output that uses mag, and
+        # invalid pairs' mag stays finite (inv2 <= attraction/eps^2 ~
+        # 2.5e24 < f32 max) so `0 * mag == 0` — outputs bitwise-identical,
+        # two fewer vector muls per block
+        attr = f32(params.attraction)
     i1, i2, mina = f32(MAGNET_INT1), f32(MAGNET_INT2), f32(MAGNET_MIN_ATTR)
     ramp = mina + (attr * f32(1.0 / (MAGNET_INT2 * MAGNET_INT2)) - mina) * f32(
         1.0 / (MAGNET_INT2 - MAGNET_INT1)
     ) * (gap - i1)
-    inv2 = attr / (jnp.maximum(gap, eps) ** 2)
+    if legacy:
+        inv2 = attr / (jnp.maximum(gap, eps) ** 2)
+    else:
+        # no eps guard: inv2 is only SELECTED when gap >= MAGNET_INT2
+        # (where it equals the guarded form bitwise); for gap <= 0 it may
+        # be inf, which the select discards without arithmetic
+        inv2 = attr / (gap * gap)
     mag = jnp.where(gap < i1, mina, jnp.where(gap < i2, ramp, inv2))
     fax = mag * nx
     fay = mag * ny

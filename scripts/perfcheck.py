@@ -9,8 +9,8 @@ Budgets are the round-5 measured bests plus ~5% relay-timing margin
 (CLAUDE.md pins relay variance at ~1%; anything past 5% is a real
 regression, find it before committing):
 
-    1k  (megakernel path)  13.7 us/step measured -> budget 14.5
-    10k (big-table path)   93.9 us/step measured -> budget 98.0
+    1k  (megakernel path)  13.3 us/step measured -> budget 14.0
+    10k (big-table path)   90.7 us/step measured -> budget 94.5
 
 Usage: python scripts/perfcheck.py [--quick]
   --quick: 10k only (one compile, ~1 min after warmup).
@@ -25,7 +25,7 @@ import time
 import jax
 import numpy as np
 
-BUDGETS_US = {1_000: 14.5, 10_000: 98.0}
+BUDGETS_US = {1_000: 14.0, 10_000: 94.5}
 
 
 def measure(n: int, steps: int = 60_000, calls: int = 2) -> float:

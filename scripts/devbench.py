@@ -1,6 +1,11 @@
 """Dev throughput probe: ms/step at a given bot count on the real TPU.
 
-Usage: python scripts/devbench.py [n_bots] [steps_per_call] [n_calls] [world_half]
+Usage: python scripts/devbench.py [n_bots] [steps_per_call] [n_calls] [world_half] [key=value ...]
+
+Trailing ``key=value`` arguments override any ``SimParams`` field (ints,
+floats and enum names are coerced from the field's current type), e.g.
+``slot_rebuild_steps=8 overflow_slots=0 grid_dim=512`` — the large-N
+tail probe runs exactly these variants.
 
 ``world_half`` must be raised past the default 64 once the HEX blob
 outgrows the world box (>~500k bots: the 1M blob spans +-89.4 units —
@@ -25,6 +30,7 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
 STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 6000
 CALLS = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 WORLD_HALF = float(sys.argv[4]) if len(sys.argv) > 4 else 64.0
+OVERRIDES = dict(a.split("=", 1) for a in sys.argv[5:])
 
 
 def _sync(state):
@@ -40,6 +46,14 @@ def main():
         n_cells=N, n_dead=0, seed=7, config=Config.HEX,
         light_x=-20.0, light_y=0.0, world_half=WORLD_HALF,
     )
+    if OVERRIDES:
+        typed = {
+            k: type(getattr(params, k))(v) if not isinstance(
+                getattr(params, k), bool) else v.lower() in ("1", "true")
+            for k, v in OVERRIDES.items()
+        }
+        params = params.replace(**typed)
+        print(f"overrides: {typed}")
     sim = Simulation(params)
     pos0 = np.asarray(jax.device_get(sim.state.pos))[: params.n_cells]
     span = float(np.abs(pos0).max())

@@ -137,3 +137,32 @@ def test_ext_nonnewton_kernel_matches_newton():
     out = stencil_forces_pallas_ext(p, ext, H, gg)
     for a, b in zip(ref, out):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize("with_payload", [False, True])
+def test_pairmath_diet_bitwise_vs_legacy(monkeypatch, with_payload):
+    """The round-6 pair-math instruction diet (d2 + eps^2, payload-free afac
+    fold, unguarded inv2 — ops/pallas_stencil._pair_block) must be BITWISE
+    identical to the legacy guarded forms on every reachable input.
+
+    A 96-bot cloud at spread 1.2 exercises contact overlap (gap < 0), the
+    magnet ramp (0 < gap < INT2) and the inverse-square tail
+    (gap >= INT2); the payload variant keeps the afac planes live."""
+    p = P.replace(n_dead=-1) if with_payload else P
+    n, n_pad = 96, 128
+    pos, vel, rad, mask = cloud(n, n_pad, 1.2, seed=11)
+    payload = jnp.asarray(np.arange(n_pad) == 1) if with_payload else jnp.zeros(n_pad, bool)
+
+    def run():
+        # fresh lambda -> fresh jit cache entry, so the env knob (read at
+        # trace time) takes effect per call
+        return jax.jit(
+            lambda *a: pallas_stencil_collide(p, *a, 0.01)
+        )(pos, vel, rad, mask, payload)
+
+    monkeypatch.setenv("PBOT_PAIRMATH", "legacy")
+    legacy = run()
+    monkeypatch.delenv("PBOT_PAIRMATH")
+    new = run()
+    for a, b in zip(legacy, new):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -32,6 +32,7 @@ import numpy as np
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
 ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 6000
+WORLD_HALF = float(sys.argv[3]) if len(sys.argv) > 3 else 64.0
 
 
 def _sync(x):
@@ -75,7 +76,7 @@ def main():
 
     params = SimParams(
         n_cells=N, n_dead=0, seed=7, config=Config.HEX,
-        light_x=-20.0, light_y=0.0,
+        light_x=-20.0, light_y=0.0, world_half=WORLD_HALF,
     ).validate()
     sim = Simulation(params)
     k = max(1, params.slot_rebuild_steps)

@@ -88,9 +88,11 @@ def choose_sweep_strategy(
     one stacked pytree).
 
     With a mesh the batch IS the parallelism axis — always batched.  On one
-    device, sequential wins at every measured scale (see
-    SEQUENTIAL_MAX_CELLS); the env knob ``PBOT_SWEEP_STRATEGY`` forces
-    either for A/B runs.
+    device, batched wins at every measured scale EXCEPT the megakernel
+    band (PALLAS, G=16 tables), where the vmapped span grid repeats
+    per-scene kernel cost — see the measured crossover table in
+    docs/RESULTS.md.  The env knob ``PBOT_SWEEP_STRATEGY`` forces either
+    for A/B runs.
     """
     forced = os.environ.get("PBOT_SWEEP_STRATEGY", "")
     if forced in ("sequential", "batched"):
@@ -146,11 +148,11 @@ def _run_sweep_sequential(
         finals.append(state)
         all_records.append(recs)
     final = jax.tree.map(lambda *xs: jnp.stack(xs), *finals)
-    # (n_records, n_scenes, 2) — same layout as the batched recorder; the
-    # single np.asarray here is the only host sync of the whole sweep
-    return final, np.asarray(
-        [[np.asarray(r) for r in recs] for recs in all_records]
-    ).transpose(1, 0, 2)
+    # (n_records, n_scenes, 2) — same layout as the batched recorder; ONE
+    # device_get on the whole record pytree is the only host sync of the
+    # sweep (per-record np.asarray would pay the ~24 ms relay round-trip
+    # once per record)
+    return final, np.asarray(jax.device_get(all_records)).transpose(1, 0, 2)
 
 
 def run_sweep(
@@ -183,7 +185,18 @@ def run_sweep(
         if params.resolved_backend() == ForceBackend.PALLAS
         else 0
     )
-    strategy = strategy or choose_sweep_strategy(params, len(seeds), mesh)
+    if strategy is None:
+        strategy = choose_sweep_strategy(params, len(seeds), mesh)
+    elif strategy not in ("sequential", "batched"):
+        raise ValueError(f"unknown sweep strategy: {strategy!r}")
+    elif strategy == "sequential" and mesh is not None:
+        # same incompatibility the env-knob path rejects: the scene batch
+        # IS the sharding axis, so a sequential run would silently drop
+        # the requested multi-device sharding
+        raise ValueError(
+            "strategy='sequential' is incompatible with a device mesh "
+            "(the scene batch is the sharding axis)"
+        )
     if strategy == "sequential":
         return _run_sweep_sequential(params, seeds, n_steps, record_every, seg)
 
@@ -206,7 +219,7 @@ def run_sweep(
         state = run(state, chunk, seg > 0 and done % seg == 0)
         done += chunk
         records.append(centroid(state))
-    return state, np.stack([np.asarray(r) for r in records])
+    return state, np.stack(jax.device_get(records))
 
 
 def sweep_summary(centroids: np.ndarray, params: SimParams):

@@ -47,13 +47,9 @@ def main():
         light_x=-20.0, light_y=0.0, world_half=WORLD_HALF,
     )
     if OVERRIDES:
-        typed = {
-            k: type(getattr(params, k))(v) if not isinstance(
-                getattr(params, k), bool) else v.lower() in ("1", "true")
-            for k, v in OVERRIDES.items()
-        }
-        params = params.replace(**typed)
-        print(f"overrides: {typed}")
+        from _overrides import parse_overrides
+
+        params = parse_overrides(params, OVERRIDES)
     sim = Simulation(params)
     pos0 = np.asarray(jax.device_get(sim.state.pos))[: params.n_cells]
     span = float(np.abs(pos0).max())

@@ -157,8 +157,12 @@ def main():
         )
         blocks = [_preshift_flat(base, g, dx, dy, False) for dx, dy in OFFSETS]
         acc = functools.reduce(jnp.add, blocks)
+        # DCE-proof: EVERY field plane of every block must reach the carry
+        # (feeding only acc[0] lets XLA slice-push through the rolls and
+        # dead-code-eliminate the other planes' preshift work)
+        mix = acc.sum(axis=0)
         f["vx"] = f["vx"] + jnp.float32(1e-30) * jnp.concatenate(
-            [acc[0].reshape(force_total),
+            [mix.reshape(force_total),
              jnp.zeros((_geometry(params)[1] - force_total,), jnp.float32)]
         )
         return ts._replace(fields=f, step=ts.step + 1)

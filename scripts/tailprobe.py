@@ -56,9 +56,9 @@ def main():
         light_x=-20.0, light_y=0.0, world_half=WORLD_HALF,
     )
     if OVERRIDES:
-        typed = {k: type(getattr(params, k))(v) for k, v in OVERRIDES.items()}
-        params = params.replace(**typed)
-        print(f"overrides: {typed}")
+        from _overrides import parse_overrides
+
+        params = parse_overrides(params, OVERRIDES)
     sim = Simulation(params)
     vp = params.validate()
     k = max(1, vp.slot_rebuild_steps)

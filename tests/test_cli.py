@@ -79,6 +79,11 @@ def test_cli_platform_flag(tmp_path, capsys, monkeypatch):
 
     monkeypatch.setattr(jax.config, "update", recording_update)
 
+    # force backend initialization so the test is order-independent: run
+    # standalone, nothing has touched a device yet and the late-override
+    # warning below would never fire
+    jax.devices()
+
     csv = tmp_path / "out.csv"
     cfg = _write_cfg(tmp_path, csv, n_cells=8, max_time=1.0)
     rc = cli.main(["simulate", cfg, "--platform", "cpu", "--quiet"])
@@ -87,6 +92,6 @@ def test_cli_platform_flag(tmp_path, capsys, monkeypatch):
     assert ("jax_platforms", "cpu") in calls
     err = capsys.readouterr().err
     assert "(100 steps, 8 bots)" in err
-    # backends were initialized by earlier tests -> the cannot-take-effect
-    # warning must be printed (cli.py main platform handling)
+    # backends are initialized (jax.devices() above) -> the
+    # cannot-take-effect warning must be printed (cli.py platform handling)
     assert "already initialized" in err

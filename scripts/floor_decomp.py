@@ -119,6 +119,15 @@ def main():
     # post: force kernel + obstacles + stick-slip
     results["post"] = _time_scan(step_post, ts0, ITERS)
 
+    # prepost: the full physics step body (pre + post composed, all gates
+    # statically off, NO rebuild/fallback glue) — full minus prepost
+    # localizes what the scan wrapper adds: rebuild cond glue, deferred
+    # fallback machinery, segment-entry gates
+    def prepost_body(ts):
+        return step_post(step_pre(ts, False, False, False))
+
+    results["prepost"] = _time_scan(prepost_body, ts0, ITERS)
+
     # kernel: preshift + pallas pair kernel, outputs fed into vx/vy/aa/ar
     def kernel_body(ts):
         f = dict(ts.fields)
@@ -190,7 +199,8 @@ def main():
     us = {kk: v / ITERS * 1e6 for kk, v in results.items()}
     print(f"\nn={N} (grid {g}, cap {cap}, k={k}), {ITERS}-step scans, "
           f"best of 3, us/step:")
-    for kk in ("full", "post", "kernel", "preshift", "pre", "carry"):
+    for kk in ("full", "prepost", "post", "kernel", "preshift", "pre",
+               "carry"):
         print(f"  {kk:9s} {us[kk]:8.2f}")
     print(f"  rebuild   {us['rebuild']:8.2f} raw -> "
           f"{us['rebuild'] / k:.2f} amortized (1/{k} steps)")

@@ -99,6 +99,17 @@ def test_sweep_sequential_matches_batched():
     )
 
 
+def test_sweep_strategy_validation():
+    """run_sweep rejects unknown strategy strings and the sequential+mesh
+    combination (the scene batch IS the sharding axis — a sequential run
+    would silently drop the requested multi-device sharding)."""
+    p = small_params()
+    with pytest.raises(ValueError, match="unknown sweep strategy"):
+        run_sweep(p, [0, 1], 10, strategy="bogus")
+    with pytest.raises(ValueError, match="incompatible with a device mesh"):
+        run_sweep(p, [0, 1], 10, mesh=default_mesh(), strategy="sequential")
+
+
 def test_sweep_summary_shapes():
     p = small_params()
     _, cents = run_sweep(p, [0, 1], 100, record_every=50)

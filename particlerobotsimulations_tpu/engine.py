@@ -230,6 +230,7 @@ def _chunk_cache_key(kind: str, params: SimParams):
         params,
         os.environ.get("PBOT_MEGA"),
         os.environ.get("PBOT_DEFER"),
+        os.environ.get("PBOT_GR"),
         os.environ.get("PBOT_UNROLL_BODY"),
         os.environ.get("PBOT_PAIRMATH"),
         jax.default_backend(),

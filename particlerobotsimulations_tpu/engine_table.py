@@ -393,11 +393,14 @@ def _make_deferred_seg(
     exact fallback), and adopt is bitwise the cond-taken branch — so the
     schedule is bitwise-identical to the legacy per-block-cond one.
     Expected cost ~ 0.099*GR (redo) + 7.2/GR (cond) us/step at 10k ->
-    GR ~ 7-10; 7 divides the default 49 ublocks evenly.
+    GR ~ 7-10; 7 divides the default 49 ublocks evenly.  The trajectory
+    is GR-invariant (adopt is the unconditional incrementals; redo
+    recomputes the identical deterministic blocks), so GR is a pure
+    perf/compile knob — ``PBOT_GR`` overrides for A/B runs.
 
     The loops differ only in the injected hooks (vmapped pre/post and an
     all-scenes ok reduction on the batched path)."""
-    GR = 7
+    GR = int(os.environ.get("PBOT_GR", "0")) or 7
 
     def block_nc(carry, _):
         """One k-step block whose rebuild is the unconditional

@@ -33,6 +33,16 @@ import numpy as np
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
 ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 6000
 WORLD_HALF = float(sys.argv[3]) if len(sys.argv) > 3 else 64.0
+# comma-separated stage subset (each stage is its own remote compile —
+# a focused run saves ~minutes per skipped stage at large N)
+STAGES = set(
+    s for s in __import__("os").environ.get("PBOT_FD_STAGES", "").split(",")
+    if s
+)
+
+
+def _want(stage: str) -> bool:
+    return not STAGES or stage in STAGES
 
 
 def _sync(x):
@@ -89,18 +99,19 @@ def main():
     results = {}
 
     # full: the real chunk runner (same protocol as devbench)
-    run = make_run_chunk(params)
-    seg = gate_seg(params)
-    aligned = seg > 0 and ITERS % seg == 0
-    state = run(sim.state, ITERS, aligned)
-    _sync(state)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        state = run(state, ITERS, aligned)
+    if _want("full"):
+        run = make_run_chunk(params)
+        seg = gate_seg(params)
+        aligned = seg > 0 and ITERS % seg == 0
+        state = run(sim.state, ITERS, aligned)
         _sync(state)
-        best = min(best, time.perf_counter() - t0)
-    results["full"] = best
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state = run(state, ITERS, aligned)
+            _sync(state)
+            best = min(best, time.perf_counter() - t0)
+        results["full"] = best
 
     # carry floor: trivial body on the same TableState pytree
     def carry_body(ts):
@@ -108,16 +119,19 @@ def main():
         f["px"] = f["px"] + jnp.float32(1e-30)
         return ts._replace(fields=f, step=ts.step + 1)
 
-    results["carry"] = _time_scan(carry_body, ts0, ITERS)
+    if _want("carry"):
+        results["carry"] = _time_scan(carry_body, ts0, ITERS)
 
     # pre: radius controller + integrate/boundary (gates statically off)
     def pre_body(ts):
         return step_pre(ts, False, False, False)
 
-    results["pre"] = _time_scan(pre_body, ts0, ITERS)
+    if _want("pre"):
+        results["pre"] = _time_scan(pre_body, ts0, ITERS)
 
     # post: force kernel + obstacles + stick-slip
-    results["post"] = _time_scan(step_post, ts0, ITERS)
+    if _want("post"):
+        results["post"] = _time_scan(step_post, ts0, ITERS)
 
     # prepost: the full physics step body (pre + post composed, all gates
     # statically off, NO rebuild/fallback glue) — full minus prepost
@@ -126,7 +140,8 @@ def main():
     def prepost_body(ts):
         return step_post(step_pre(ts, False, False, False))
 
-    results["prepost"] = _time_scan(prepost_body, ts0, ITERS)
+    if _want("prepost"):
+        results["prepost"] = _time_scan(prepost_body, ts0, ITERS)
 
     # kernel: preshift + pallas pair kernel, outputs fed into vx/vy/aa/ar
     def kernel_body(ts):
@@ -148,7 +163,8 @@ def main():
         f["ar"] = jnp.concatenate([fr.reshape(force_total), z])
         return ts._replace(fields=f, step=ts.step + 1)
 
-    results["kernel"] = _time_scan(kernel_body, ts0, ITERS)
+    if _want("kernel"):
+        results["kernel"] = _time_scan(kernel_body, ts0, ITERS)
 
     # preshift: the 5-block flat-roll candidate stack alone
     from particlerobotsimulations_tpu.ops.pallas_stencil import (
@@ -176,12 +192,83 @@ def main():
         )
         return ts._replace(fields=f, step=ts.step + 1)
 
-    results["preshift"] = _time_scan(preshift_body, ts0, ITERS)
+    if _want("preshift"):
+        results["preshift"] = _time_scan(preshift_body, ts0, ITERS)
 
     # rebuild: unconditional incremental compaction (executes 1/k steps)
     from particlerobotsimulations_tpu.ops.table_rebuild import (
         incremental_rebuild,
     )
+
+    # block: ONE deferred k-step block body exactly as the production seg
+    # loop compiles it (k-1 plain steps unrolled + pre + unconditional
+    # incremental rebuild incl. derived-row recompute + post, ok folded
+    # into the carry) but with NO group scan / adopt-or-redo cond around
+    # it.  block vs (k-1)/k*prepost + (pre+rebuild+post)/k separates
+    # body-size scheduling cost from the group/cond machinery.
+    from particlerobotsimulations_tpu.engine_table import _derived_rows
+
+    def block_body(ts):
+        for _ in range(k - 1):
+            ts = step_post(step_pre(ts, False, False, False))
+        ts = step_pre(ts, False, False, False)
+        moved, ok = incremental_rebuild(params, ts.fields, MOVE_FIELDS,
+                                        ts.origin)
+        f = dict(ts.fields)
+        f.update(moved)
+        f = _derived_rows(params, f)
+        f["px"] = f["px"] + jnp.float32(1e-30) * ok.astype(jnp.float32)
+        return step_post(ts._replace(fields=f))
+
+    if ITERS % k == 0 and _want("block"):
+        results["block"] = _time_scan(block_body, ts0, ITERS // k)
+
+    # block variants (mechanism isolation for the composition overhead):
+    #   block_nr — k plain steps, NO rebuild: is plain-step composition free?
+    #   block_nd — block without the derived-row recompute
+    #   block_iso — rebuild runs (DCE-proof via 1e-30 fold of every moved
+    #               plane) but post consumes the PRE-rebuild fields: is the
+    #               rebuild->post data dependency the cost, or the rebuild's
+    #               mere presence in the body?
+    def block_nr_body(ts):
+        for _ in range(k):
+            ts = step_post(step_pre(ts, False, False, False))
+        return ts
+
+    if ITERS % k == 0 and _want("block_nr"):
+        results["block_nr"] = _time_scan(block_nr_body, ts0, ITERS // k)
+
+    def block_nd_body(ts):
+        for _ in range(k - 1):
+            ts = step_post(step_pre(ts, False, False, False))
+        ts = step_pre(ts, False, False, False)
+        moved, ok = incremental_rebuild(params, ts.fields, MOVE_FIELDS,
+                                        ts.origin)
+        f = dict(ts.fields)
+        f.update(moved)
+        f["px"] = f["px"] + jnp.float32(1e-30) * ok.astype(jnp.float32)
+        return step_post(ts._replace(fields=f))
+
+    if ITERS % k == 0 and _want("block_nd"):
+        results["block_nd"] = _time_scan(block_nd_body, ts0, ITERS // k)
+
+    def block_iso_body(ts):
+        for _ in range(k - 1):
+            ts = step_post(step_pre(ts, False, False, False))
+        ts = step_pre(ts, False, False, False)
+        moved, ok = incremental_rebuild(params, ts.fields, MOVE_FIELDS,
+                                        ts.origin)
+        f = dict(ts.fields)
+        # full-plane sums: a single-element read would let XLA slice-push
+        # through the window updates and DCE the rebuild's XLA-side parts
+        fold = ok.astype(jnp.float32)
+        for key in moved:
+            fold = fold + jnp.float32(1e-30) * jnp.sum(moved[key])
+        f["px"] = f["px"] + jnp.float32(1e-30) * fold
+        return step_post(ts._replace(fields=f))
+
+    if ITERS % k == 0 and _want("block_iso"):
+        results["block_iso"] = _time_scan(block_iso_body, ts0, ITERS // k)
 
     def rebuild_body(ts):
         moved, ok = incremental_rebuild(params, ts.fields, MOVE_FIELDS,
@@ -192,25 +279,30 @@ def main():
         f["px"] = f["px"] + jnp.float32(1e-30) * ok.astype(jnp.float32)
         return ts._replace(fields=f, step=ts.step + 1)
 
-    n_reb = max(ITERS // k, 1)
-    results["rebuild"] = _time_scan(rebuild_body, ts0, n_reb) * k  # scale to
-    # per-physics-step iters for the table below (printed /k as amortized)
+    if _want("rebuild"):
+        n_reb = max(ITERS // k, 1)
+        results["rebuild"] = _time_scan(rebuild_body, ts0, n_reb) * k
+        # scaled to per-physics-step iters (printed /k as amortized)
 
     us = {kk: v / ITERS * 1e6 for kk, v in results.items()}
     print(f"\nn={N} (grid {g}, cap {cap}, k={k}), {ITERS}-step scans, "
           f"best of 3, us/step:")
-    for kk in ("full", "prepost", "post", "kernel", "preshift", "pre",
-               "carry"):
-        print(f"  {kk:9s} {us[kk]:8.2f}")
-    print(f"  rebuild   {us['rebuild']:8.2f} raw -> "
-          f"{us['rebuild'] / k:.2f} amortized (1/{k} steps)")
-    attributed = (
-        us["post"] + us["pre"] - us["carry"] + us["rebuild"] / k
-    )
-    print(f"  attributed (post + pre - carry + rebuild/k) = "
-          f"{attributed:.2f}; full = {us['full']:.2f}; "
-          f"unattributed = {us['full'] - attributed:.2f}")
-    print(f"  throughput: {N / us['full']:.1f}M particle-steps/s")
+    for kk in ("full", "block", "block_nr", "block_nd", "block_iso",
+               "prepost", "post", "kernel", "preshift", "pre", "carry"):
+        if kk in us:
+            print(f"  {kk:9s} {us[kk]:8.2f}")
+    if "rebuild" in us:
+        print(f"  rebuild   {us['rebuild']:8.2f} raw -> "
+              f"{us['rebuild'] / k:.2f} amortized (1/{k} steps)")
+    if all(kk in us for kk in ("post", "pre", "carry", "rebuild", "full")):
+        attributed = (
+            us["post"] + us["pre"] - us["carry"] + us["rebuild"] / k
+        )
+        print(f"  attributed (post + pre - carry + rebuild/k) = "
+              f"{attributed:.2f}; full = {us['full']:.2f}; "
+              f"unattributed = {us['full'] - attributed:.2f}")
+    if "full" in us:
+        print(f"  throughput: {N / us['full']:.1f}M particle-steps/s")
 
 
 if __name__ == "__main__":

@@ -270,6 +270,231 @@ def main():
     if ITERS % k == 0 and _want("block_iso"):
         results["block_iso"] = _time_scan(block_iso_body, ts0, ITERS // k)
 
+    # block_gl — the rebuild's XLA PRELUDE only (plane stack + move-plane
+    # displacements + halo pad), no pallas compact, post reads old fields:
+    # block_gl vs block_nr isolates whether the "presence" half of the
+    # composition penalty is XLA data prep or the pallas call itself.
+    from particlerobotsimulations_tpu.ops.table_rebuild import (
+        CHUNK as _RB_CHUNK,
+        _n_halo,
+        rebuild_move_planes,
+    )
+
+    nf_mv = len(MOVE_FIELDS)
+    gg = g * g
+    cap_s = params.storage_capacity()
+    total_s = gg * cap_s
+    halo = _n_halo(g) * _RB_CHUNK
+
+    def block_gl_body(ts):
+        for _ in range(k - 1):
+            ts = step_post(step_pre(ts, False, False, False))
+        ts = step_pre(ts, False, False, False)
+        planes = jnp.stack(
+            [ts.fields[k2][:total_s] for k2 in MOVE_FIELDS]
+        ).reshape(nf_mv, cap_s, gg)
+        dxf, dyf, mf, eg = rebuild_move_planes(
+            params, planes, MOVE_FIELDS, ts.origin
+        )
+        stacked = jnp.concatenate([planes, dxf[None], dyf[None]], axis=0)
+        padded = jnp.concatenate(
+            [stacked[:, :, gg - halo:], stacked, stacked[:, :, :halo]],
+            axis=-1,
+        )
+        fold = (
+            jnp.sum(padded) * jnp.float32(1e-30)
+            + mf.astype(jnp.float32)
+            + eg.astype(jnp.float32)
+        )
+        f = dict(ts.fields)
+        f["px"] = f["px"] + jnp.float32(1e-30) * fold
+        return step_post(ts._replace(fields=f))
+
+    if ITERS % k == 0 and _want("block_gl"):
+        results["block_gl"] = _time_scan(block_gl_body, ts0, ITERS // k)
+
+    # block_px — full rebuild, but post consumes ONLY the moved px/py
+    # (other planes folded as sums): does the consumption half of the
+    # penalty scale with the number of adopted planes, or is any
+    # dependency at all the whole cost?
+    def block_px_body(ts):
+        for _ in range(k - 1):
+            ts = step_post(step_pre(ts, False, False, False))
+        ts = step_pre(ts, False, False, False)
+        moved, ok = incremental_rebuild(params, ts.fields, MOVE_FIELDS,
+                                        ts.origin)
+        f = dict(ts.fields)
+        fold = ok.astype(jnp.float32)
+        for key in moved:
+            if key in ("px", "py"):
+                f[key] = moved[key]
+            else:
+                fold = fold + jnp.float32(1e-30) * jnp.sum(moved[key])
+        f["px"] = f["px"] + jnp.float32(1e-30) * fold
+        return step_post(ts._replace(fields=f))
+
+    if ITERS % k == 0 and _want("block_px"):
+        results["block_px"] = _time_scan(block_px_body, ts0, ITERS // k)
+
+    # block_s0 — pure presence: the pallas compact runs (kept alive via its
+    # cnt output inside ok = moved_far|overflow|edge) but NO moved plane is
+    # read at all — the cheapest-possible composition with the call present.
+    def block_s0_body(ts):
+        for _ in range(k - 1):
+            ts = step_post(step_pre(ts, False, False, False))
+        ts = step_pre(ts, False, False, False)
+        moved, ok = incremental_rebuild(params, ts.fields, MOVE_FIELDS,
+                                        ts.origin)
+        f = dict(ts.fields)
+        f["px"] = f["px"] + jnp.float32(1e-30) * ok.astype(jnp.float32)
+        return step_post(ts._replace(fields=f))
+
+    if ITERS % k == 0 and _want("block_s0"):
+        results["block_s0"] = _time_scan(block_s0_body, ts0, ITERS // k)
+
+    # block_pr / block_pr2 — PLANE-RESIDENT block prototypes: fields carried
+    # as (cap, gg) planes with the parking strip separate, so the rebuild
+    # adopts the pallas compact output without the per-field
+    # concat-with-strip round trip (the suspected composition penalty —
+    # block_px showed the full rebuild composes at +6.4 us/step when only
+    # 2 planes are adopted).  Physics-equivalent to the flat block for the
+    # ungated no-obstacle probe scenario (NOT wired to production).
+    #   block_pr  — dict of planes; adoption = slices of the stacked output
+    #   block_pr2 — MOVE planes carried as ONE stacked (9, cap, gg) array;
+    #               adoption = swapping in the output array (zero copy)
+    from particlerobotsimulations_tpu.engine_table import (
+        TABLE_FIELDS,
+        _payload_afac,
+    )
+    from particlerobotsimulations_tpu.ops.integrate import (
+        radius_integrate_planes,
+    )
+    from particlerobotsimulations_tpu.ops.forces import (
+        friction_velocity_update_xy,
+    )
+    from particlerobotsimulations_tpu.ops.table_rebuild import (
+        incremental_rebuild_planes,
+    )
+
+    nf_mv = len(MOVE_FIELDS)
+    cap_s = params.storage_capacity()
+    gg = g * g
+    total_s = gg * cap_s
+    dt = params.timestep
+    f32 = jnp.float32
+    origin0 = ts0.origin
+
+    def _mk_packed_carry():
+        pl2 = {
+            kf: ts0.fields[kf][:total_s].reshape(cap_s, gg)
+            for kf in TABLE_FIELDS
+        }
+        st2 = {kf: ts0.fields[kf][total_s:] for kf in TABLE_FIELDS}
+        return pl2, st2, ts0.step
+
+    def _pre_pr(pl2, st2, step):
+        time = step.astype(f32) * f32(dt)
+        return (
+            radius_integrate_planes(params, dict(pl2), time),
+            radius_integrate_planes(params, dict(st2), time),
+        )
+
+    def _post_pr(pl2, st2):
+        tables = {kf: pl2[kf][:cap] for kf in KERNEL_FIELDS}
+        fx, fy, fa, fr = _stencil_forces_pallas(params, tables, True)
+        if cap_s > cap:
+            zrow = jnp.zeros((cap_s - cap, gg), f32)
+            fx = jnp.concatenate([fx, zrow])
+            fy = jnp.concatenate([fy, zrow])
+            fa = jnp.concatenate([fa, zrow])
+            fr = jnp.concatenate([fr, zrow])
+        pl2["aa"], pl2["ar"] = fa, fr
+        val_r = pl2["val"] > 0.5
+        nvx, nvy = friction_velocity_update_xy(
+            params, pl2["vx"], pl2["vy"], fx, fy, pl2["pay"] > 0.5, dt
+        )
+        pl2["vx"] = jnp.where(val_r, nvx, 0.0)
+        pl2["vy"] = jnp.where(val_r, nvy, 0.0)
+        zs = jnp.zeros_like(st2["aa"])
+        st2["aa"], st2["ar"] = zs, zs
+        svx, svy = friction_velocity_update_xy(
+            params, st2["vx"], st2["vy"], zs, zs, st2["pay"] > 0.5, dt
+        )
+        sval = st2["val"] > 0.5
+        st2["vx"] = jnp.where(sval, svx, 0.0)
+        st2["vy"] = jnp.where(sval, svy, 0.0)
+        return pl2, st2
+
+    def block_pr_body(carry):
+        pl2, st2, step = carry
+        for _ in range(k - 1):
+            pl2, st2 = _pre_pr(pl2, st2, step)
+            pl2, st2 = _post_pr(pl2, st2)
+            step = step + 1
+        pl2, st2 = _pre_pr(pl2, st2, step)
+        planes = jnp.stack([pl2[k2] for k2 in MOVE_FIELDS])
+        new_planes, ok = incremental_rebuild_planes(
+            params, planes, MOVE_FIELDS, origin0
+        )
+        for j, k2 in enumerate(MOVE_FIELDS):
+            pl2[k2] = new_planes[j]
+        pl2["pay"], pl2["afac"] = _payload_afac(
+            params, pl2["val"] > 0.5, pl2["bid"]
+        )
+        pl2["px"] = pl2["px"] + f32(1e-30) * ok.astype(f32)
+        pl2, st2 = _post_pr(pl2, st2)
+        return pl2, st2, step + 1
+
+    if ITERS % k == 0 and _want("block_pr"):
+        results["block_pr"] = _time_scan(
+            block_pr_body, _mk_packed_carry(), ITERS // k
+        )
+
+    # stacked-carry variant: MOVE planes live in one (9, cap, gg) array
+    mv_idx = {k2: j for j, k2 in enumerate(MOVE_FIELDS)}
+
+    def _mk_stacked_carry():
+        pl2, st2, step = _mk_packed_carry()
+        mv = jnp.stack([pl2[k2] for k2 in MOVE_FIELDS])
+        ex = {k2: pl2[k2] for k2 in TABLE_FIELDS if k2 not in mv_idx}
+        return mv, ex, st2, step
+
+    def _unstack(mv, ex):
+        pl2 = {k2: mv[mv_idx[k2]] for k2 in MOVE_FIELDS}
+        pl2.update(ex)
+        return pl2
+
+    def _restack(pl2):
+        mv = jnp.stack([pl2[k2] for k2 in MOVE_FIELDS])
+        ex = {k2: pl2[k2] for k2 in TABLE_FIELDS if k2 not in mv_idx}
+        return mv, ex
+
+    def block_pr2_body(carry):
+        mv, ex, st2, step = carry
+        pl2 = _unstack(mv, ex)
+        for _ in range(k - 1):
+            pl2, st2 = _pre_pr(pl2, st2, step)
+            pl2, st2 = _post_pr(pl2, st2)
+            step = step + 1
+        pl2, st2 = _pre_pr(pl2, st2, step)
+        planes, ex2 = _restack(pl2)
+        new_planes, ok = incremental_rebuild_planes(
+            params, planes, MOVE_FIELDS, origin0
+        )
+        pl2 = _unstack(new_planes, ex2)
+        pl2["pay"], pl2["afac"] = _payload_afac(
+            params, pl2["val"] > 0.5, pl2["bid"]
+        )
+        pl2, st2 = _post_pr(pl2, st2)
+        mv, ex = _restack(pl2)
+        mv = mv.at[0].add(f32(1e-30) * ok.astype(f32))
+        return mv, ex, st2, step + 1
+
+    if ITERS % k == 0 and _want("block_pr2"):
+        results["block_pr2"] = _time_scan(
+            block_pr2_body, _mk_stacked_carry(), ITERS // k
+        )
+
     def rebuild_body(ts):
         moved, ok = incremental_rebuild(params, ts.fields, MOVE_FIELDS,
                                         ts.origin)
@@ -288,6 +513,7 @@ def main():
     print(f"\nn={N} (grid {g}, cap {cap}, k={k}), {ITERS}-step scans, "
           f"best of 3, us/step:")
     for kk in ("full", "block", "block_nr", "block_nd", "block_iso",
+               "block_gl", "block_px", "block_s0", "block_pr", "block_pr2",
                "prepost", "post", "kernel", "preshift", "pre", "carry"):
         if kk in us:
             print(f"  {kk:9s} {us[kk]:8.2f}")

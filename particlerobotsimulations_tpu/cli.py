@@ -291,10 +291,12 @@ def main(argv=None) -> int:
             initialized = xla_bridge.backends_are_initialized()
         except (ImportError, AttributeError):  # pragma: no cover - jax drift
             initialized = False
-        if initialized:
+        if initialized and jax.default_backend() != args.platform:
             # jax.config.update is silently ineffective once a backend
             # client exists (e.g. a second programmatic cli.main() call in
             # the same process): say so instead of running on the old one.
+            # (No warning when the requested platform already matches the
+            # initialized one — the override is then a no-op, not a trap.)
             print(
                 "warning: --platform set after JAX backends were already "
                 "initialized in this process; the override may not take "

@@ -151,6 +151,13 @@ class SimParams:
     circle_obstacles: Tuple[Tuple[float, float, float], ...] = ()
 
     # --- world --------------------------------------------------------------
+    # half-extent of the square world box; the integrator clamps positions at
+    # +-world_half exactly like the reference's hardcoded +-64
+    # (particlebot_kernel_impl.cuh:84-99, main.cpp:937-939).  64 is the
+    # reference-parity default; 0 = AUTO-FIT: derived from the placement
+    # extent + margin at state creation (models/placement.autofit_world_half)
+    # so oversized swarms (a >=600k-bot HEX blob spans past 64) get a box
+    # that fits without a hand-set value.
     world_half: float = 64.0
 
     # --- output / render ----------------------------------------------------
@@ -203,8 +210,16 @@ class SimParams:
     # closes > cell_size within the window (would need relative speed > 2.3
     # at the default 4).  The reference reuses its sort for sort_interval =
     # 180 s = 18000 steps (particlebot.cpp:256) with far weaker guarantees.
-    # 1 = rebuild every step (exact).
-    slot_rebuild_steps: int = 4
+    # 1 = rebuild every step (exact).  -1 = AUTO: the base cadence 4, with
+    # SPEED-CERTIFIED adaptive doubling to 8 on large tables (n_cells >
+    # 100_000, where the rebuild share of the step is worth ~+10% at 1M):
+    # each chunk opens with a probe segment that measures an upper bound on
+    # the max pair-closing speed (local 3x3-neighborhood velocity
+    # envelopes, engine_table.neighbor_rel_speed_bound); K=8 runs only
+    # while 2x the measured bound stays below HALF the 2.3 u/s K=4 margin,
+    # and any violation drops the next chunk back to K=4
+    # (engine_table.make_adaptive_run_chunk).
+    slot_rebuild_steps: int = -1
 
     # ------------------------------------------------------------------ API
 
@@ -297,10 +312,16 @@ class SimParams:
             raise ValueError("grid_dim must be 0 (auto) or a positive multiple of 16")
         if self.cell_capacity < 1:
             raise ValueError("cell_capacity must be >= 1")
-        if self.slot_rebuild_steps < 1:
-            raise ValueError("slot_rebuild_steps must be >= 1")
-        if self.world_half <= 0:
-            raise ValueError("world_half must be > 0")
+        if self.slot_rebuild_steps < 1 and self.slot_rebuild_steps != -1:
+            raise ValueError(
+                "slot_rebuild_steps must be >= 1, or -1 (auto: base 4 + "
+                "speed-certified adaptive 8 on large tables)"
+            )
+        if self.world_half < 0:
+            raise ValueError(
+                "world_half must be >= 0 (0 = auto-fit from the placement "
+                "extent, resolved by Simulation/initial_state_arrays)"
+            )
         if self.overflow_slots > 0 and self.overflow_slots % 8:
             raise ValueError("overflow_slots must be -1 (auto) or a multiple of 8")
         return self
@@ -309,6 +330,24 @@ class SimParams:
         if self.overflow_slots >= 0:
             return self.overflow_slots
         return 8 if self.n_cells > 100_000 else 0
+
+    def resolved_slot_rebuild_steps(self) -> int:
+        """The BASE rebuild cadence every compiled step function uses; -1
+        (auto) resolves to the validated default 4.  The speed-certified
+        doubling to 8 is a chunk-driver concern, not a compile-time one —
+        see :meth:`adaptive_rebuild` and
+        engine_table.make_adaptive_run_chunk."""
+        if self.slot_rebuild_steps == -1:
+            return 4
+        return self.slot_rebuild_steps
+
+    def adaptive_rebuild(self) -> bool:
+        """Whether the chunk driver should run the speed-certified adaptive
+        rebuild cadence (K in {4, 8}).  Only in auto mode and only on large
+        tables: the rebuild's amortized share of the step is worth ~+10% at
+        1M bots, while at <= 100k the K=8 saving is within relay timing
+        noise and not worth doubling the staleness window for."""
+        return self.slot_rebuild_steps == -1 and self.n_cells > 100_000
 
     def storage_capacity(self) -> int:
         """Table sublanes: force-visible capacity + spill rows."""

@@ -233,7 +233,13 @@ def _chunk_cache_key(kind: str, params: SimParams):
         os.environ.get("PBOT_GR"),
         os.environ.get("PBOT_UNROLL_BODY"),
         os.environ.get("PBOT_PAIRMATH"),
-        jax.default_backend(),
+        os.environ.get("PBOT_MAGMIN"),
+        os.environ.get("PBOT_PRESHIFT"),
+        # jax_platforms (not jax.default_backend()) keeps key construction
+        # from initializing the JAX client as a side effect — a library
+        # caller may still jax.config.update("jax_platforms", ...) after
+        # building a runner
+        jax.config.jax_platforms,
     )
 
 
@@ -249,8 +255,11 @@ def make_run_chunk(params: SimParams) -> Callable[[SimState, int], SimState]:
     if cached is not None:
         return cached
     run = _make_run_chunk_uncached(params)
-    if len(_RUN_CHUNK_CACHE) > 16:  # bound compiled-executable retention
-        _RUN_CHUNK_CACHE.clear()
+    while len(_RUN_CHUNK_CACHE) > 16:  # bound compiled-executable retention
+        # FIFO-evict the oldest runner (dicts preserve insertion order)
+        # instead of clearing: a sweep alternating many param sets keeps
+        # its hot runners' XLA executables
+        _RUN_CHUNK_CACHE.pop(next(iter(_RUN_CHUNK_CACHE)))
     _RUN_CHUNK_CACHE[key] = run
     return run
 
@@ -298,8 +307,8 @@ def make_run_chunk_batched(params: SimParams) -> Callable:
     if cached is not None:
         return cached
     run = _make_run_chunk_batched_uncached(params)
-    if len(_RUN_CHUNK_CACHE) > 16:
-        _RUN_CHUNK_CACHE.clear()
+    while len(_RUN_CHUNK_CACHE) > 16:
+        _RUN_CHUNK_CACHE.pop(next(iter(_RUN_CHUNK_CACHE)))
     _RUN_CHUNK_CACHE[key] = run
     return run
 

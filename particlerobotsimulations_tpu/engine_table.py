@@ -340,7 +340,7 @@ def gate_seg(params: SimParams) -> int:
     segment."""
     import math
 
-    k = max(1, params.slot_rebuild_steps)
+    k = max(1, params.resolved_slot_rebuild_steps())
     ints = [params.centroid_steps_interval]
     if params.control == Control.LIGHT_WAVE:
         ints.append(params.phase_update_steps)
@@ -719,7 +719,7 @@ def make_run_chunk_table(params: SimParams):
     params = params.validate()
     step = make_table_step(params)
     step_pre_f, step_post_f = make_table_step_parts(params)
-    k = max(1, params.slot_rebuild_steps)
+    k = max(1, params.resolved_slot_rebuild_steps())
     seg = gate_seg(params)
 
     # small-table megakernel: whole ungated rebuild-to-rebuild spans as
@@ -933,6 +933,15 @@ def make_run_chunk_table(params: SimParams):
                 ts, _ = jax.lax.scan(body, ts, None, length=n_rem)
         return exit_table(params, ts)
 
+    # path identity, driver/test-visible: which internal schedule this
+    # runner was BUILT to take (the megakernel span path is a build-time
+    # decision — __graft_entry__.dryrun_multichip asserts it and proves a
+    # deliberate PBOT_MEGA=0 de-eligibling changes the executed path)
+    run_chunk.path_info = {
+        "use_mega": use_mega,
+        "gate_seg": seg,
+        "slot_rebuild_steps": k,
+    }
     return run_chunk
 
 
@@ -946,7 +955,7 @@ def make_run_chunk_table_batched(params: SimParams):
     """
     params = params.validate()
     step_pre, step_post = make_table_step_parts(params)
-    k = max(1, params.slot_rebuild_steps)
+    k = max(1, params.resolved_slot_rebuild_steps())
     venter = jax.vmap(lambda s: enter_table(params, s))
     vexit = jax.vmap(lambda t: exit_table(params, t))
     # gates stay unmapped scalars -> real conds inside the vmapped halves;
@@ -1165,4 +1174,9 @@ def make_run_chunk_table_batched(params: SimParams):
                 ts, _ = jax.lax.scan(body, ts, None, length=n_rem)
         return vexit(ts)
 
+    run_chunk.path_info = {
+        "use_mega": use_mega,
+        "gate_seg": seg,
+        "slot_rebuild_steps": k,
+    }
     return run_chunk

@@ -178,7 +178,10 @@ def _random_accretion(params: SimParams, rng):
     min_r = params.min_radius
     cell = params.cell_size()
     gmask = 511  # 512-wide bucket grid, power-of-two wrap (main.cpp:937)
-    origin = -params.world_half
+    # the origin only shifts bucket ids uniformly (the 3x3 neighbor check is
+    # shift-invariant), so the world_half==0 auto-fit sentinel — resolved
+    # AFTER placement from the extent — can use the parity default here
+    origin = -(params.world_half or 64.0)
 
     pos = np.zeros((n, 2), dtype=np.float64)
     buckets: dict[tuple, list[int]] = {}
@@ -257,16 +260,34 @@ def _random_accretion(params: SimParams, rng):
     return pos.astype(np.float32)
 
 
+def autofit_world_half(params: SimParams, pos: np.ndarray) -> SimParams:
+    """Resolve the ``world_half == 0`` auto-fit sentinel from a placement
+    (or restored-state) position array: the box must contain the swarm with
+    headroom for expansion and drift toward the light, and never shrinks
+    below the reference-parity 64 (main.cpp:937-939) so auto-fitted small
+    scenarios behave exactly like the default."""
+    if params.world_half != 0:
+        return params
+    span = float(np.abs(pos).max()) if pos.size else 0.0
+    max_rad = params.max_radius
+    if params.has_payload:
+        max_rad = max(max_rad, params.min_radius * params.rad_factor)
+    # 25% drift/expansion headroom + one diameter of slack, integer-rounded
+    half = max(64.0, float(math.ceil(1.25 * (span + max_rad) + 2.0)))
+    return params.replace(world_half=half)
+
+
 def initial_state_arrays(params: SimParams, seed: int | None = None):
     """Host arrays for a fresh scenario: (pos, vel, rad, phase, dead).
 
     Radii / dead flags per particlebot.cpp:784-791.  Also resolves the
-    ``Nx == 0 -> config_size_x`` fallback (particlebot.cpp:772-773) by
-    returning the effective params.
+    ``Nx == 0 -> config_size_x`` fallback (particlebot.cpp:772-773) and the
+    ``world_half == 0`` auto-fit sentinel by returning the effective params.
     """
     pos, size_x = place(params, seed=seed)
     if params.nx == 0:
         params = params.replace(nx=size_x)
+    params = autofit_world_half(params, pos)
     n = params.n_cells
     vel = np.zeros((n, 2), dtype=np.float32)
     rad = np.full((n,), params.min_radius, dtype=np.float32)

@@ -16,6 +16,19 @@ import jax.numpy as jnp
 from ..config import SimParams
 
 
+def _require_resolved_world(params: SimParams) -> None:
+    """The ``world_half == 0`` auto-fit sentinel must be resolved from the
+    placement extent BEFORE any step function compiles — a 0 box would
+    clamp every bot to the origin.  Simulation/initial_state_arrays resolve
+    it; direct engine callers must do the same."""
+    if params.world_half == 0:
+        raise ValueError(
+            "world_half=0 (auto-fit) is unresolved: build state via "
+            "Simulation/initial_state_arrays (which derive the box from "
+            "the placement extent) or set world_half explicitly"
+        )
+
+
 def integrate(
     params: SimParams,
     pos: jax.Array,   # (n, 2)
@@ -24,6 +37,7 @@ def integrate(
     dt: float,
 ):
     f32 = jnp.float32
+    _require_resolved_world(params)
     half = f32(params.world_half)
     bd = f32(params.boundary_damping)
 
@@ -51,6 +65,7 @@ def radius_integrate_planes(params: SimParams, f: dict, time) -> dict:
     from .actuation import update_radius
 
     f32 = jnp.float32
+    _require_resolved_world(params)
     dt = params.timestep
     f["rad"] = update_radius(
         params, f["rad"], f["phase"], f["aa"], f["ar"],

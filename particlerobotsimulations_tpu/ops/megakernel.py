@@ -106,7 +106,7 @@ def mega_eligible(params: SimParams) -> bool:
         return False
     if p.resolved_overflow_slots() != 0:
         return False
-    if max(1, p.slot_rebuild_steps) > 8:
+    if max(1, p.resolved_slot_rebuild_steps()) > 8:
         return False
     return True
 
@@ -132,7 +132,7 @@ def _make_kernel(params: SimParams, interpret: bool):
     p = params
     g, cap = p.resolved_grid_dim(), p.cell_capacity
     gg = g * g
-    k_steps = max(1, p.slot_rebuild_steps)
+    k_steps = max(1, p.resolved_slot_rebuild_steps())
     dt = p.timestep
     f32 = jnp.float32
     # NOTE: keep build-time values as python floats — jnp.float32() makes a

@@ -75,6 +75,30 @@ LANE_CHUNK = 128
 _PRESHIFT_MODE = os.environ.get("PBOT_PRESHIFT", "flat")
 
 
+def _magmin_ok(params: SimParams) -> bool:
+    """Static eligibility for the min/max magnet-select collapse.
+
+    The three-way select ``where(gap < i1, mina, where(gap < i2, ramp,
+    inv2))`` equals ``min(max(mina, ramp), inv2)`` region by region when
+    the piecewise law is monotone (ramp slope >= 0, inv2 >= mina on
+    [0, i1)), PROVIDED the float orderings ``ramp <= inv2`` on [i1, i2)
+    and ``inv2 <= ramp`` on [i2, inf) hold bitwise — rounding-luck facts
+    near the i2 breakpoint that depend on the attraction constant, so the
+    collapse is gated on the enumeration-verified value (the reference
+    default 3*0.000015884, config.py / main.cpp defaults; every shipped
+    cfg uses it).
+    tests/test_pallas.py::test_magmin_exhaustive_enumeration checks every
+    float32 gap in the risky window and pins the monotone edge arguments.
+    Payload runs keep the select: per-pair ``attr`` planes can be small
+    (or zero -> 0/0 = NaN at gap == 0, which min/max would PROPAGATE
+    where the select discards it)."""
+    if os.environ.get("PBOT_MAGMIN", "1") == "0":
+        return False
+    return (not params.has_payload) and (
+        float(params.attraction) == 3.0 * 0.000015884
+    )
+
+
 def _lane_x(g: int, gg: int) -> jax.Array:
     """(gg,) int32: x coordinate of each flat cell lane (cell = y*G + x)."""
     return jax.lax.broadcasted_iota(jnp.int32, (gg, 1), 0).reshape(gg) % g
@@ -224,9 +248,29 @@ def _pair_block(
     else:
         # no eps guard: inv2 is only SELECTED when gap >= MAGNET_INT2
         # (where it equals the guarded form bitwise); for gap <= 0 it may
-        # be inf, which the select discards without arithmetic
+        # be inf, which the select discards without arithmetic.
+        # FORWARD-ONLY: differentiating this branch would hit where's
+        # 0*inf/NaN cotangent poisoning (the repo's documented pathology,
+        # models/optimize.py) — the differentiable path pulls gradients
+        # through ops/stencil.py instead (make_diff_pallas_collide); any
+        # future direct-VJP of this kernel must use PBOT_PAIRMATH=legacy
+        # or a guarded variant
         inv2 = attr / (gap * gap)
-    mag = jnp.where(gap < i1, mina, jnp.where(gap < i2, ramp, inv2))
+    if not legacy and _magmin_ok(params):
+        # region-by-region collapse of the three-way select (see
+        # _magmin_ok): gap < i1 -> ramp <= mina exactly (mina plus a
+        # non-positive product) and inv2 >= attr/i1^2 >> mina, so both
+        # reductions land on mina (at gap == 0 inv2 is +inf, which min
+        # discards — attr > 0 statically, so never NaN); [i1, i2) ->
+        # mina <= ramp <= inv2; [i2, inf) -> inv2 <= ramp.  The float
+        # orderings at the i2 breakpoint are enumeration-verified for
+        # the gated attraction value.  gap < 0 pairs may differ in mag
+        # (inv2 < mina once |gap| > 1) but are overlap pairs: attract
+        # == 0 and both forms finite, so every output term is 0 either
+        # way.  Two compare+selects -> one min + one max per block.
+        mag = jnp.minimum(jnp.maximum(mina, ramp), inv2)
+    else:
+        mag = jnp.where(gap < i1, mina, jnp.where(gap < i2, ramp, inv2))
     fax = mag * nx
     fay = mag * ny
 

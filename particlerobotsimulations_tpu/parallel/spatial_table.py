@@ -90,10 +90,22 @@ def resolve_tp_params(params: SimParams, n_shards: int) -> SimParams:
     return params.replace(grid_dim=g)
 
 
-def make_sharded_table_run(params: SimParams, mesh: Mesh, axis: str = "bots"):
+def make_sharded_table_run(
+    params: SimParams, mesh: Mesh, axis: str = "bots",
+    with_stats: bool = False,
+):
     """(run_chunk, resolved_params): the table-resident loop sharded over
     ``mesh``'s ``axis``.  ``run_chunk(state, n_steps)`` takes and returns a
-    replicated bot-order SimState (the sharded table lives only inside)."""
+    replicated bot-order SimState (the sharded table lives only inside).
+
+    ``with_stats=True`` makes ``run_chunk`` return ``(state, stats)`` with
+    in-run path-identity counters accumulated inside the scan (replicated
+    scalars): ``fallbacks`` — how many rebuilds took the exact global
+    fallback instead of the incremental compaction — and
+    ``spill_rows_max`` — the per-step maximum number of occupied
+    overflow-spill sublane rows across all shards (0 when the table has no
+    spill).  Used by ``__graft_entry__.dryrun_multichip`` to PROVE which
+    internal paths a certification actually exercised."""
     D = int(np.prod([s for n, s in zip(mesh.axis_names, mesh.devices.shape) if n == axis]))
     params = resolve_tp_params(params, D)
     g, cap = params.resolved_grid_dim(), params.cell_capacity
@@ -105,7 +117,7 @@ def make_sharded_table_run(params: SimParams, mesh: Mesh, axis: str = "bots"):
     total, total_ext, n_pad = _geometry(params)
     nf = len(MOVE_FIELDS)
     vi = MOVE_FIELDS.index("val")
-    k_rb = max(1, params.slot_rebuild_steps)
+    k_rb = max(1, params.resolved_slot_rebuild_steps())
     dt = params.timestep
     f32 = jnp.float32
     fwd = [(i, (i + 1) % D) for i in range(D)]
@@ -174,11 +186,14 @@ def make_sharded_table_run(params: SimParams, mesh: Mesh, axis: str = "bots"):
             gf, new_origin = _rebuild_fields(params, join_global(f_))
             return split_local(gf, d), new_origin
 
-        return jax.lax.cond(ok_all, take_inc, take_exact, (f, origin))
+        f, origin = jax.lax.cond(ok_all, take_inc, take_exact, (f, origin))
+        return f, origin, ok_all
 
-    def step_local(f, step, key, ring, origin, d, rebuild: bool):
+    def step_local(f, step, key, ring, origin, d, rebuild, stats):
         """One physics step on the shard-local fields; op order ==
-        engine_table.make_table_step (== the reference)."""
+        engine_table.make_table_step (== the reference).  ``stats`` is
+        either None or the (fallbacks, spill_rows_max) int32 counter pair
+        (with_stats mode), threaded through unchanged otherwise."""
         time = step.astype(f32) * f32(dt)
         step_key = jax.random.fold_in(key, step)
         val = f["val"] > 0.5
@@ -269,14 +284,18 @@ def make_sharded_table_run(params: SimParams, mesh: Mesh, axis: str = "bots"):
 
         # 6. slot rebuild (static schedule, between integrate and collide)
         if rebuild is True:
-            f, origin = sharded_rebuild(f, origin, d)
+            f, origin, rb_ok = sharded_rebuild(f, origin, d)
+            if stats is not None:
+                stats = (stats[0] + (1 - rb_ok.astype(jnp.int32)), stats[1])
         elif rebuild is not False:
-            f, origin = jax.lax.cond(
+            f, origin, rb_ok = jax.lax.cond(
                 rebuild,
                 lambda args: sharded_rebuild(*args),
-                lambda args: (args[0], args[1]),
+                lambda args: (args[0], args[1], jnp.asarray(True)),
                 (f, origin, d),
             )
+            if stats is not None:
+                stats = (stats[0] + (1 - rb_ok.astype(jnp.int32)), stats[1])
 
         # 7. collide: halo exchange + non-Newton extended kernel
         stk_in = jnp.stack(
@@ -313,7 +332,18 @@ def make_sharded_table_run(params: SimParams, mesh: Mesh, axis: str = "bots"):
         )
         f["vx"] = jnp.where(val_r, nvx, 0.0)
         f["vy"] = jnp.where(val_r, nvy, 0.0)
-        return f, step + 1, ring, origin
+        if stats is not None and cs > cap:
+            # occupied overflow-spill sublane rows across all shards, this
+            # step — the max over steps certifies spill rows really held
+            # bots during the run
+            spill = jax.lax.psum(
+                jnp.sum(
+                    f["val"][:center_len].reshape(cs, L0)[cap:] > 0.5
+                ).astype(jnp.int32),
+                axis,
+            )
+            stats = (stats[0], jnp.maximum(stats[1], spill))
+        return f, step + 1, ring, origin, stats
 
     def chunk_body(state: SimState, n_steps: int) -> SimState:
         d = jax.lax.axis_index(axis)
@@ -321,13 +351,16 @@ def make_sharded_table_run(params: SimParams, mesh: Mesh, axis: str = "bots"):
         f = split_local(ts.fields, d)
 
         def step_at(carry, rebuild):
-            f, step, ring, origin = carry
-            f, step, ring, origin = step_local(
-                f, step, ts.key, ring, origin, d, rebuild
+            f, step, ring, origin, stats = carry
+            f, step, ring, origin, stats = step_local(
+                f, step, ts.key, ring, origin, d, rebuild, stats
             )
-            return (f, step, ring, origin)
+            return (f, step, ring, origin, stats)
 
-        carry = (f, ts.step, ts.centroid_ring, ts.origin)
+        stats0 = (
+            (jnp.int32(0), jnp.int32(0)) if with_stats else None
+        )
+        carry = (f, ts.step, ts.centroid_ring, ts.origin, stats0)
         if k_rb == 1:
             def body(c, _):
                 return step_at(c, True), None
@@ -362,23 +395,28 @@ def make_sharded_table_run(params: SimParams, mesh: Mesh, axis: str = "bots"):
 
             carry, _ = jax.lax.scan(body, carry, None, length=n_steps)
 
-        f, step, ring, origin = carry
+        f, step, ring, origin, stats = carry
         gf = join_global(f)
-        return exit_table(
+        out = exit_table(
             params,
             TableState(
                 fields=gf, origin=origin, step=step, key=ts.key,
                 centroid_ring=ring,
             ),
         )
+        if with_stats:
+            # replicated scalars: fallbacks derive from the pmin'd ok_all,
+            # spill counts are psum'd — identical on every shard
+            return out, {"fallbacks": stats[0], "spill_rows_max": stats[1]}
+        return out
 
     @functools.partial(jax.jit, static_argnums=1)
-    def run_chunk(state: SimState, n_steps: int) -> SimState:
+    def run_chunk(state: SimState, n_steps: int):
         fn = shard_map(
             functools.partial(chunk_body, n_steps=n_steps),
             mesh=mesh,
             in_specs=(P(),),
-            out_specs=P(),
+            out_specs=(P(), P()) if with_stats else P(),
             check_vma=False,
         )
         return fn(state)

@@ -37,6 +37,17 @@ class Simulation:
         if state is None:
             params, pos, vel, rad, phase, dead = initial_state_arrays(params)
             state = make_state(params, pos, vel, rad, phase, dead)
+        elif params.world_half == 0:
+            # auto-fit from the restored state's active rows (padding rows
+            # carry sentinel positions and must not widen the box)
+            from .models.placement import autofit_world_half
+            from .state import active_mask
+
+            m = np.asarray(
+                jax.device_get(active_mask(params, state.pos.shape[0]))
+            )
+            p_act = np.asarray(jax.device_get(state.pos))[m]
+            params = autofit_world_half(params, p_act)
         self.params = params
         self.state = state
         self._run_chunk = make_run_chunk(params)
@@ -53,16 +64,16 @@ class Simulation:
         if span >= params.world_half:
             # the integrator clamps at +-world_half exactly like the
             # reference (particlebot_kernel_impl.cuh:84-99), so bots placed
-            # outside the box pile up at the walls from step 1 — legal, but
-            # almost always a mis-sized scenario (e.g. a HEX blob > ~500k
-            # bots outgrows the default 64-unit half-world)
-            import warnings
-
-            warnings.warn(
+            # outside the box pile up at the walls from step 1 and every
+            # measured "physics" is a wall-pileup ring, not a swarm.  An
+            # undersized box is always a mis-sized scenario now that
+            # world_half 0 = auto-fit exists, so fail loudly (a warning in
+            # a minutes-long-compile workflow is too easy to miss)
+            raise ValueError(
                 f"initial swarm spans +-{span:.1f} but world_half="
-                f"{params.world_half:g}: bots outside the box are clamped "
-                "to the walls every step — raise the world_half cfg key",
-                stacklevel=2,
+                f"{params.world_half:g}: bots outside the box would be "
+                "clamped to the walls every step — raise the world_half "
+                "cfg key, or set world_half 0 to auto-fit the placement"
             )
         if params.validate().resolved_backend() == ForceBackend.PALLAS:
             # the table loop's edge-guard invariant (blob anchored

@@ -16,7 +16,17 @@ def parse_overrides(params, pairs: dict):
     for k, v in pairs.items():
         cur = getattr(params, k)
         if isinstance(cur, bool):
-            typed[k] = v.lower() in ("1", "true")
+            # strict: a typo ('yes', 'True ', 'on') must not silently flip
+            # a physics knob to False in a measurement script
+            s = v.strip().lower()
+            if s in ("1", "true"):
+                typed[k] = True
+            elif s in ("0", "false"):
+                typed[k] = False
+            else:
+                raise ValueError(
+                    f"bool override {k}={v!r}: use 1/0/true/false"
+                )
         elif isinstance(cur, enum.Enum):
             typed[k] = type(cur)[v.upper()]
         else:

@@ -7,10 +7,11 @@ floats and enum names are coerced from the field's current type), e.g.
 ``slot_rebuild_steps=8 overflow_slots=0 grid_dim=512`` — the large-N
 tail probe runs exactly these variants.
 
-``world_half`` must be raised past the default 64 once the HEX blob
-outgrows the world box (>~500k bots: the 1M blob spans +-89.4 units —
-leaving the default silently clamps the outer bots at the walls and the
-measured "physics" is a pileup ring, not a swarm).
+``world_half`` defaults to 0 = AUTO-FIT from the placement extent, so
+any bot count runs hands-free (the 1M HEX blob spans +-89.4 units and
+auto-fits to a 114-unit half-world; the reference-parity 64 would clamp
+the outer bots at the walls and the measured "physics" would be a
+pileup ring, not a swarm).  Pass an explicit value to pin the box.
 
 Measures the single-scene table-resident loop exactly like bench.py but
 with configurable chunk length, and prints per-call wall times so the
@@ -29,7 +30,7 @@ import numpy as np
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
 STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 6000
 CALLS = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-WORLD_HALF = float(sys.argv[4]) if len(sys.argv) > 4 else 64.0
+WORLD_HALF = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0  # 0 = auto-fit
 OVERRIDES = dict(a.split("=", 1) for a in sys.argv[5:])
 
 
@@ -51,13 +52,10 @@ def main():
 
         params = parse_overrides(params, OVERRIDES)
     sim = Simulation(params)
-    pos0 = np.asarray(jax.device_get(sim.state.pos))[: params.n_cells]
-    span = float(np.abs(pos0).max())
-    assert span < params.world_half, (
-        f"HEX blob spans +-{span:.1f} > world_half={params.world_half:g}: "
-        "the boundary clamp would pile bots at the walls — pass a larger "
-        "world_half (argv[4])"
-    )
+    params = sim.params  # world_half auto-fit resolved (Simulation errors
+    # on an explicit undersized box, so no fit assert is needed here)
+    if params.world_half != WORLD_HALF:
+        print(f"world_half auto-fit: {params.world_half:g}")
     run = make_run_chunk(params)
     seg = gate_seg(params.validate())
     aligned = seg > 0 and STEPS % seg == 0

@@ -32,7 +32,7 @@ import numpy as np
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
 ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 6000
-WORLD_HALF = float(sys.argv[3]) if len(sys.argv) > 3 else 64.0
+WORLD_HALF = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0  # 0 = auto-fit
 # comma-separated stage subset (each stage is its own remote compile —
 # a focused run saves ~minutes per skipped stage at large N)
 STAGES = set(
@@ -89,7 +89,8 @@ def main():
         light_x=-20.0, light_y=0.0, world_half=WORLD_HALF,
     ).validate()
     sim = Simulation(params)
-    k = max(1, params.slot_rebuild_steps)
+    params = sim.params  # world_half auto-fit resolution
+    k = max(1, params.resolved_slot_rebuild_steps())
     g, cap = params.resolved_grid_dim(), params.cell_capacity
     force_total = g * g * cap
     ts0 = jax.jit(lambda s: enter_table(params, s))(sim.state)

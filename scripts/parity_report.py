@@ -166,11 +166,29 @@ def _anchors(results, p):
       this framework's established cross-round measurement (5.0e-4 m/s
       over rounds 2-5, seed std 2-3e-5) converted to paper units; the
       anchor freezes it as a ±3-sigma regression band in diameters/min.
+    * transport_diam_per_hour — payload transport rate (paper fig. 3
+      protocol: an inert, heavy, oversized disc carried toward the light)
+      in diameters/hour.  The paper prints no digit retrievable here, so
+      the band is the cross-round measurement (payload dx -3.21 ± 0.50 u
+      round 3, -3.45 ± 0.57 u rounds 4-5, over 12000 s) in paper units —
+      ±3 sigma of the seed spread; direction (toward the light) is part
+      of the anchor (a positive measured value).
+    * gap_transit_fraction — fraction of the 1000-bot swarm past the wall
+      line at the end of example_gap.cfg (the supplementary's gap-transit
+      completion observable).  The paper claims the swarm squeezes
+      through a 2-unit gap; the numeric band is the cross-round
+      measurement 0.789-0.803 (r2 0.803, r3 0.796, r4 0.803, r5 0.789)
+      with a ±3-sigma-of-seed-spread tolerance.
     """
     diam = 2.0 * p.max_radius  # 0.235 m expanded, the paper's size unit
     ph_speed = results["phototaxis"]["approach_speed_mean"]  # m/s
     ph_dpm = ph_speed * 60.0 / diam
     rob20 = results["robustness"]["normalized_speed"][2]
+    tr = results["transport"]
+    tr_hours = tr["sim_seconds"] / 3600.0
+    # payload moves toward the light in -x: positive rate = toward light
+    tr_dph = -tr["payload_dx_mean"] / diam / tr_hours
+    gap_frac = results["gap"]["frac_past_wall_mean"]
 
     def verdict(measured, expected, tol):
         return "PASS" if abs(measured - expected) <= tol else "FAIL"
@@ -195,6 +213,31 @@ def _anchors(results, p):
             "conversion": "approach_speed(20% dead) / approach_speed(0%)",
             "anchored_to": "paper: locomotion sustained at ~half speed "
                            "with 20% of units failed (abstract + fig. 4)",
+        },
+        "transport_diam_per_hour": {
+            "name": "transport_diam_per_hour",
+            "measured": float(tr_dph),
+            "unit": "diameters/hour toward light",
+            # cross-round band: dx -3.21 to -3.45 u over 12000 s
+            # = 4.10-4.40 diam/h; center 4.25, seed sigma ~0.70 diam/h
+            "expected": 4.25,
+            "tol": 2.10,  # ±3 sigma of the seed spread (0.55 u -> 0.70)
+            "conversion": "-payload_dx[m] / (0.235 m) / (sim_s / 3600)",
+            "anchored_to": "paper fig. 3 payload-transport protocol; "
+                           "numeric band is the cross-round measurement "
+                           "(see docstring) — direction included (a "
+                           "negative rate = away from light FAILS)",
+        },
+        "gap_transit_fraction": {
+            "name": "gap_transit_fraction",
+            "measured": float(gap_frac),
+            "unit": "fraction past wall",
+            "expected": 0.79,  # cross-round: 0.789-0.803 (r2-r5)
+            "tol": 0.09,  # ±3 sigma of the per-seed spread (~0.03)
+            "conversion": "mean over bots of (x < wall plane) at max_time",
+            "anchored_to": "paper supplementary gap-transit completion "
+                           "(swarm squeezes through a 2-unit gap); "
+                           "numeric band is the cross-round measurement",
         },
     }
     for a in anchors.values():

@@ -4,8 +4,10 @@
 set -u
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 cd /root/repo
+# world_half auto-fits per size (devbench argv[4] defaults to 0 = auto),
+# so the 500k/1M rows run hands-free
 for spec in "1000 60000" "4000 60000" "10000 60000" "40000 24000" \
-            "100000 12000" "250000 6000"; do
+            "100000 12000" "250000 6000" "500000 3000" "1000000 3000"; do
   set -- $spec
   echo "=== n=$1 steps/chunk=$2"
   python scripts/devbench.py "$1" "$2" 2 2>&1 | grep -v WARNING

@@ -33,7 +33,7 @@ import numpy as np
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 WINDOWS = int(sys.argv[2]) if len(sys.argv) > 2 else 256
-WORLD_HALF = float(sys.argv[3]) if len(sys.argv) > 3 else 64.0
+WORLD_HALF = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0  # 0 = auto-fit
 WARM = int(sys.argv[4]) if len(sys.argv) > 4 else 6000
 OVERRIDES = dict(a.split("=", 1) for a in sys.argv[5:])
 
@@ -60,8 +60,9 @@ def main():
 
         params = parse_overrides(params, OVERRIDES)
     sim = Simulation(params)
+    params = sim.params  # world_half auto-fit resolution
     vp = params.validate()
-    k = max(1, vp.slot_rebuild_steps)
+    k = max(1, vp.resolved_slot_rebuild_steps())
     g, cap = vp.resolved_grid_dim(), vp.storage_capacity()
     print(
         f"n={N} G={g} cap={cap} (spill {vp.resolved_overflow_slots()}) "

@@ -92,6 +92,26 @@ def test_cli_platform_flag(tmp_path, capsys, monkeypatch):
     assert ("jax_platforms", "cpu") in calls
     err = capsys.readouterr().err
     assert "(100 steps, 8 bots)" in err
-    # backends are initialized (jax.devices() above) -> the
-    # cannot-take-effect warning must be printed (cli.py platform handling)
-    assert "already initialized" in err
+    # requesting the ALREADY-ACTIVE platform is a no-op, not a trap — no
+    # spurious late-override warning
+    assert "already initialized" not in err
+
+    # a MISMATCHED late override must warn (when the initialization probe
+    # is available; tolerate jax private-API drift, where the cli degrades
+    # to not warning rather than crashing)
+    try:
+        from jax._src import xla_bridge
+
+        probe_available = xla_bridge.backends_are_initialized()
+    except (ImportError, AttributeError):
+        probe_available = False
+    try:
+        rc = cli.main(["simulate", cfg, "--platform", "tpu", "--quiet"])
+        err = capsys.readouterr().err
+        if probe_available:
+            # the config update is silently ineffective (backend client
+            # already exists), so the run proceeds on cpu and must say so
+            assert rc == 0
+            assert "already initialized" in err
+    finally:
+        real_update("jax_platforms", "cpu")  # undo for the rest of the suite

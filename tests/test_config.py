@@ -195,7 +195,9 @@ def test_validate_rejects_bad_geometry():
     with pytest.raises(ValueError):
         SimParams(slot_rebuild_steps=0).validate()
     with pytest.raises(ValueError):
-        SimParams(world_half=0.0).validate()
+        SimParams(world_half=-1.0).validate()
+    # 0 is the auto-fit sentinel, legal until a step function compiles
+    SimParams(world_half=0.0).validate()
 
 
 def test_engine_knob_cfg_keys():

@@ -165,20 +165,49 @@ def test_boundary_containment():
     assert np.abs(pos).max() <= p.world_half
 
 
-def test_init_world_box_warning():
-    # placement wider than the world box: the integrator clamps exactly like
-    # the reference, so it is legal — but almost always a mis-sized scenario
-    # (e.g. a >500k-bot HEX blob outgrows the default 64-unit half-world),
-    # so Simulation warns at init
+def test_init_world_box_explicit_undersized_refused():
+    # placement wider than an EXPLICIT world box: the integrator clamps
+    # exactly like the reference, so it is legal physics — but always a
+    # mis-sized scenario (the measured result is a wall-pileup ring), so
+    # init refuses with a pointer at the auto-fit sentinel
     p = small_params(config=Config.HEX, world_half=0.4)  # 32-bot HEX spans 0.465
-    with pytest.warns(UserWarning, match="world_half"):
+    with pytest.raises(ValueError, match="world_half"):
         Simulation(p)
-    # a fitting swarm stays silent
-    import warnings as _w
+    # a fitting swarm passes
+    Simulation(small_params(config=Config.HEX))
 
-    with _w.catch_warnings():
-        _w.simplefilter("error")
-        Simulation(small_params(config=Config.HEX))
+
+def test_world_half_autofit():
+    # world_half 0 = auto-fit: the box derives from the placement extent
+    # (never below the reference-parity 64), so oversized swarms run
+    # without a hand-set value
+    p = small_params(config=Config.HEX, world_half=0.0)
+    sim = Simulation(p)
+    assert sim.params.world_half == 64.0  # small blob -> parity default
+    pos, _, _ = sim.host_view()
+    assert np.abs(pos).max() < sim.params.world_half
+
+    # a wide LINE placement pushes the auto box past 64
+    p_wide = small_params(
+        # 1024-bot LINE spans ~79 units > the 64 default
+        n_cells=1024, config=Config.LINE, world_half=0.0,
+        force_backend=ForceBackend.DENSE,
+    )
+    sim_wide = Simulation(p_wide)
+    assert sim_wide.params.world_half > 64.0
+    pos, _, _ = sim_wide.host_view()
+    assert np.abs(pos).max() < sim_wide.params.world_half
+    # headroom: at least 25% of the span
+    assert sim_wide.params.world_half >= 1.25 * np.abs(pos).max()
+
+    # the sentinel must be resolved before any step function compiles —
+    # tracing a step built from raw world_half=0 params raises
+    from particlerobotsimulations_tpu.engine import make_step
+
+    p_raw = small_params(world_half=0.0)
+    step = make_step(p_raw)
+    with pytest.raises(ValueError, match="auto-fit"):
+        step(sim.state)
 
 
 def test_init_undersized_grid_refused():

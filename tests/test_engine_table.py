@@ -50,7 +50,7 @@ def run_per_bot(p, state, n):
 
     step = make_step(p)
     mask = active_mask(p, padded_n(p))
-    k = max(1, p.slot_rebuild_steps)
+    k = max(1, p.resolved_slot_rebuild_steps())
 
     def assign(s):
         return assign_slots_slotmajor(p, s.pos, mask)[0]

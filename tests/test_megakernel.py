@@ -105,7 +105,7 @@ def test_mega_span_matches_regular_parts():
     anywhere — that runs between spans on the regular path)."""
     p = params_().validate()
     ts = enter_table(p, jitter(Simulation(p).state))
-    k = max(1, p.slot_rebuild_steps)
+    k = max(1, p.resolved_slot_rebuild_steps())
     step_pre, step_post = make_table_step_parts(p)
 
     ts_mid = step_pre(ts, False, False, False)  # mid-step ts.step

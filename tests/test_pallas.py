@@ -154,8 +154,13 @@ def test_pairmath_diet_bitwise_vs_legacy(monkeypatch, with_payload):
     payload = jnp.asarray(np.arange(n_pad) == 1) if with_payload else jnp.zeros(n_pad, bool)
 
     def run():
-        # fresh lambda -> fresh jit cache entry, so the env knob (read at
-        # trace time) takes effect per call
+        # jax.clear_caches() is REQUIRED for the env knob to take effect:
+        # a fresh outer lambda alone is not enough — the inner module-level
+        # jit (_stencil_forces_pallas) keeps its trace cache across calls
+        # and silently serves the previous knob's jaxpr (verified round 7:
+        # without the clear, both runs lower to the same HLO and the
+        # comparison is vacuous)
+        jax.clear_caches()
         return jax.jit(
             lambda *a: pallas_stencil_collide(p, *a, 0.01)
         )(pos, vel, rad, mask, payload)
@@ -163,6 +168,67 @@ def test_pairmath_diet_bitwise_vs_legacy(monkeypatch, with_payload):
     monkeypatch.setenv("PBOT_PAIRMATH", "legacy")
     legacy = run()
     monkeypatch.delenv("PBOT_PAIRMATH")
+    # the non-legacy path also includes the magnet-select min/max collapse
+    # (PBOT_MAGMIN, on by default at the reference attraction) for the
+    # no-payload variant — this comparison pins the whole diet bitwise
     new = run()
     for a, b in zip(legacy, new):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_magmin_exhaustive_enumeration():
+    """The magnet-select collapse ``min(max(mina, ramp), inv2)`` must pick
+    the SAME float32 value as the reference three-way select
+    ``where(gap < i1, mina, where(gap < i2, ramp, inv2))`` for every gap
+    where the pair outputs consume mag (gap >= 0; see _pair_block /
+    _magmin_ok) at the gated attraction constant (the reference default).
+
+    Protocol (the round-4 pair-math-diet standard): enumerate EVERY
+    float32 gap in the risky window [i1/2, 8*i2] — ~34M values spanning
+    both breakpoints, where the ramp-vs-inv2 orderings are rounding-luck
+    facts — and pin the unbounded tails with monotonicity edge arguments:
+
+    * gap in [0, i1/2): ramp = mina + slope*(gap - i1) <= mina exactly
+      (adding a non-positive product), so max(mina, ramp) == mina; and
+      inv2 = attr/gap^2 is float-monotone nonincreasing in gap, so
+      inv2 >= inv2(window left edge) >= mina (asserted) — min picks mina,
+      matching the select (gap == 0 gives inv2 = +inf, which min
+      discards; attr > 0 statically so 0/0 NaN is impossible).
+    * gap > 8*i2: ramp is float-monotone nondecreasing (mina + a
+      nonneg-slope product of float-monotone factors) and inv2
+      float-monotone nonincreasing, so inv2 <= inv2(edge) <= ramp(edge)
+      <= ramp (edge ordering asserted with margin) — min picks inv2,
+      matching the select.
+    """
+    i1, i2 = np.float32(0.0009), np.float32(0.0019)
+    mina = np.float32(2.5)
+    attr = np.float32(3.0 * 0.000015884)  # the gated value (_magmin_ok)
+
+    lo, hi = np.float32(i1 / 2), np.float32(8 * i2)
+    gaps = np.arange(
+        np.float32(lo).view(np.int32), np.float32(hi).view(np.int32) + 1,
+        dtype=np.int32,
+    ).view(np.float32)
+
+    def ramp_inv2(gap):
+        # EXACTLY the kernel's op order (_pair_block)
+        slope = (attr * np.float32(1.0 / (0.0019 * 0.0019)) - mina) * (
+            np.float32(1.0 / (0.0019 - 0.0009))
+        )
+        ramp = mina + slope * (gap - i1)
+        with np.errstate(divide="ignore"):
+            inv2 = attr / (gap * gap)
+        return ramp, inv2
+
+    ramp, inv2 = ramp_inv2(gaps)
+    select = np.where(gaps < i1, mina, np.where(gaps < i2, ramp, inv2))
+    minmax = np.minimum(np.maximum(mina, ramp), inv2)
+    np.testing.assert_array_equal(select, minmax)
+
+    # tail pins: left edge (gap in [0, i1/2) region) and right edge
+    r_lo, v_lo = ramp_inv2(lo)
+    assert v_lo >= mina and r_lo <= mina
+    r_hi, v_hi = ramp_inv2(hi)
+    assert v_hi <= r_hi and v_hi < np.float32(0.25) * r_hi  # wide margin
+    # and the slope factors really are nonnegative (monotonicity premise)
+    assert attr * np.float32(1.0 / (0.0019 * 0.0019)) - mina > 0

@@ -69,9 +69,16 @@ def main():
 
     # every chunk starts on a step that is a multiple of STEPS (itself a
     # multiple of the 200-step gate segment) -> amortized-cond fast path
-    # warmup / compile (same scan length as the timed runs)
-    state = run(state, STEPS, True)
-    _sync(state)
+    # warmup / compile (same scan length as the timed runs).  The adaptive
+    # rebuild cadence (single-chip default at >= 4k bots) needs three
+    # warmup chunks to settle: chunk 1 probes the HEX relaxation transient
+    # (withholds K=8), chunk 2 measures steady state, chunk 3 compiles and
+    # runs the certified K=8 program — so the timed calls measure the
+    # steady certified cadence, which is what production runs at.
+    warmups = 3 if (batch == 1 and params.validate().adaptive_rebuild()) else 1
+    for _ in range(warmups):
+        state = run(state, STEPS, True)
+        _sync(state)
 
     best = float("inf")
     for _ in range(3):

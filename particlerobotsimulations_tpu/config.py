@@ -216,8 +216,10 @@ class SimParams:
     # each chunk opens with a probe segment that measures an upper bound on
     # the max pair-closing speed (local 3x3-neighborhood velocity
     # envelopes, engine_table.neighbor_rel_speed_bound); K=8 runs only
-    # while 2x the measured bound stays below HALF the 2.3 u/s K=4 margin,
-    # and any violation drops the next chunk back to K=4
+    # while the measured bound stays below the geometry-derived certificate
+    # engine_table.certified_closing_bound (no contact loss + missed
+    # magnet-tail force < 1% of plateau; 3.4 u/s at defaults), and any
+    # violation drops back to K=4 within one 200-step segment
     # (engine_table.make_adaptive_run_chunk).
     slot_rebuild_steps: int = -1
 
@@ -343,11 +345,12 @@ class SimParams:
 
     def adaptive_rebuild(self) -> bool:
         """Whether the chunk driver should run the speed-certified adaptive
-        rebuild cadence (K in {4, 8}).  Only in auto mode and only on large
-        tables: the rebuild's amortized share of the step is worth ~+10% at
-        1M bots, while at <= 100k the K=8 saving is within relay timing
-        noise and not worth doubling the staleness window for."""
-        return self.slot_rebuild_steps == -1 and self.n_cells > 100_000
+        rebuild cadence (K in {4, 8}).  Only in auto mode and only from 4k
+        bots up: measured K=8 wins are +4.6% at 4k (103.5M/s), +5.1% at
+        10k (117.7M/s) and +10.8% at 1M; below 4k the megakernel band
+        owns the floor and the rebuild share is too small to pay for the
+        probe segment."""
+        return self.slot_rebuild_steps == -1 and self.n_cells >= 4096
 
     def storage_capacity(self) -> int:
         """Table sublanes: force-visible capacity + spill rows."""

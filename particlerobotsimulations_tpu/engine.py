@@ -266,6 +266,10 @@ def make_run_chunk(params: SimParams) -> Callable[[SimState, int], SimState]:
 
 def _make_run_chunk_uncached(params: SimParams):
     if params.validate().resolved_backend() == ForceBackend.PALLAS:
+        if params.validate().adaptive_rebuild():
+            from .engine_table import make_adaptive_run_chunk
+
+            return make_adaptive_run_chunk(params)
         from .engine_table import make_run_chunk_table
 
         return make_run_chunk_table(params)

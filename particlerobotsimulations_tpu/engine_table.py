@@ -945,6 +945,230 @@ def make_run_chunk_table(params: SimParams):
     return run_chunk
 
 
+# Missed-magnet-force budget for the speed-certified cadence: an uncovered
+# closing pair may enter the magnet tail before the next rebuild; the
+# certificate bounds the largest force such a pair could have been owed to
+# this fraction of the plateau MAGNET_MIN_ATTR (2.5).  At 1% the miss is
+# orders of magnitude below contact-range forces and transient by
+# construction.
+MISSED_MAGNET_FRACTION = 0.01
+
+
+def certified_closing_bound(params: SimParams, k: int) -> float:
+    """Max pair-closing speed (u/s) under which a ``k``-step slot-reuse
+    window is SAFE, derived from the table geometry instead of folklore:
+
+    a pair not covered by the 3x3 stale window has an axis gap > one
+    binning cell ``h = cutoff()`` at assignment, hence ``dist > h``.
+    Within the window (≤ k-1 steps of staleness) it closes at most
+    ``c * (k-1) * dt``.  The bound guarantees two things:
+
+    * **no contact loss** — it cannot reach touching distance
+      (``2 * max radius``), and
+    * **bounded magnet miss** — it cannot get close enough that the
+      inverse-square tail it is owed exceeds ``MISSED_MAGNET_FRACTION`` of
+      the plateau force: gap stays above
+      ``sqrt(attraction / (fraction * MAGNET_MIN_ATTR))``.
+
+    With reference defaults: h = 0.517, touch = 0.235, tail margin =
+    0.044 -> bound(8) = 3.4 u/s, bound(4) = 7.9 u/s.  (The K=4 default's
+    own documented currency, 2.3 u/s against 2x max bot speed ~2.2, is
+    strictly more conservative than this certificate — the certificate
+    quantifies what that heuristic was protecting.)"""
+    from .ops.forces import MAGNET_MIN_ATTR
+
+    h = params.cutoff()
+    r_max = params.max_radius
+    if params.has_payload:
+        r_max = max(r_max, params.min_radius * params.rad_factor)
+    touch = params.max_radius + r_max
+    attr = params.attraction
+    if params.has_payload and params.attraction_factor > 1.0:
+        attr = attr * params.attraction_factor ** 2
+    tail = (attr / (MISSED_MAGNET_FRACTION * MAGNET_MIN_ATTR)) ** 0.5
+    slack = h - touch - tail
+    window = max(1, k - 1) * params.timestep
+    return max(0.0, slack / window)
+
+
+def neighbor_rel_speed_bound(params: SimParams, fields: dict) -> jax.Array:
+    """Scalar f32 upper bound on the max pair-closing speed among bots in
+    each other's 3x3 cell neighborhood — the quantity the slot-reuse
+    contact margin is stated in.
+
+    Per-cell [min, max] velocity envelopes over occupied rows (incl. spill
+    sublanes), widened to the 3x3 window with the same flat lane rolls the
+    preshift uses, then ``max over cells of hypot(dvx, dvy)``: for ANY two
+    bots i, j within a window, ``closing(i,j) = (v_i - v_j) . n <=
+    |v_i - v_j| <= hypot(dvx, dvy)`` of that window.  Parked bots are
+    excluded (they exert/feel no pair forces by construction).  Cost: a
+    few plane reductions + 8 rolls of (G*G,) vectors — noise next to one
+    force-kernel call."""
+    from .ops.grid import OFFSETS9
+    from .ops.pallas_stencil import _preshift_flat
+
+    g = params.resolved_grid_dim()
+    gg = g * g
+    total = gg * params.storage_capacity()
+    val = fields["val"][:total].reshape(-1, gg) > 0.5
+    big = jnp.float32(1.0e9)
+    dvs = []
+    for comp in ("vx", "vy"):
+        v = fields[comp][:total].reshape(-1, gg)
+        cmax = jnp.max(jnp.where(val, v, -big), axis=0)[None]   # (1, gg)
+        cmin = jnp.min(jnp.where(val, v, big), axis=0)[None]
+        wmax, wmin = cmax, cmin
+        for dx, dy in OFFSETS9[1:]:
+            wmax = jnp.maximum(wmax, _preshift_flat(cmax, g, dx, dy))
+            wmin = jnp.minimum(wmin, _preshift_flat(cmin, g, dx, dy))
+        # windows with < 2 bots leave +-big sentinels -> clamp at 0
+        dvs.append(jnp.maximum(wmax - wmin, 0.0))
+    return jnp.max(jnp.sqrt(dvs[0] * dvs[0] + dvs[1] * dvs[1]))
+
+
+def make_probe_chunk(params: SimParams):
+    """``probe_chunk(state) -> (state_after_seg, probe_max)``: advance
+    exactly one gate segment (``gate_seg(params)`` steps) on the SAME
+    segment schedule the production chunk uses (interval conds traced on
+    the segment's first step only — value-identical stepping, and the
+    amortized-cond fast path's cost profile) while accumulating the max of
+    :func:`neighbor_rel_speed_bound` sampled right after every slot
+    rebuild (each sample bounds the closing speeds of the upcoming reuse
+    window).  The adaptive driver opens every seg-aligned chunk with this;
+    callers must enter on a seg boundary (the driver guarantees it)."""
+    params = params.validate()
+    step = make_table_step(params)
+    k = max(1, params.resolved_slot_rebuild_steps())
+    seg = gate_seg(params)
+    if seg <= 0 or seg % k:
+        raise ValueError(
+            "probe chunk requires the gate-segment schedule (gate_seg > 0 "
+            f"and k | seg; got seg={seg}, k={k})"
+        )
+    unroll_body = _unroll_body_default(_geometry(params)[0])
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def probe_chunk(state: SimState):
+        ts = enter_table(params, state)
+        pm = neighbor_rel_speed_bound(params, ts.fields)
+
+        def step_at(ts, rebuild, gated):
+            gates = _gates(params, ts.step) if gated else (False, False, False)
+            return step(ts, *gates, rebuild)
+
+        def plain_u(ts, _):
+            return step_at(ts, False, False), None
+
+        def kblock(ts, gated_entry):
+            # mirrors run_chunk's block_at: only a segment's first step
+            # carries the traced conds
+            if unroll_body:
+                for j in range(k):
+                    ts = step_at(ts, j == k - 1, gated=gated_entry and j == 0)
+            else:
+                ts = step_at(ts, k == 1, gated=gated_entry)
+                if k > 1:
+                    if k > 2:
+                        ts, _ = jax.lax.scan(plain_u, ts, None, length=k - 2)
+                    ts = step_at(ts, True, gated=False)
+            return ts
+
+        ts = kblock(ts, True)
+        pm = jnp.maximum(pm, neighbor_rel_speed_bound(params, ts.fields))
+
+        def rest_block(carry, _):
+            ts, pm = carry
+            ts = kblock(ts, False)
+            pm = jnp.maximum(pm, neighbor_rel_speed_bound(params, ts.fields))
+            return (ts, pm), None
+
+        if seg // k > 1:
+            (ts, pm), _ = jax.lax.scan(
+                rest_block, (ts, pm), None, length=seg // k - 1
+            )
+        return exit_table(params, ts), pm
+
+    return probe_chunk
+
+
+def make_adaptive_run_chunk(params: SimParams):
+    """Speed-certified adaptive rebuild cadence — the ``slot_rebuild_steps
+    = -1`` auto mode on large tables (config.adaptive_rebuild).
+
+    Mechanism: every seg-aligned chunk opens with one probe segment (200
+    steps at reference gates, on the production segment schedule) at the
+    CURRENT cadence, measuring an upper bound on the max pair-closing
+    speed (:func:`neighbor_rel_speed_bound`, sampled at every rebuild).
+    The cadence for the NEXT chunk is K=8 iff the measured bound stays
+    within :func:`certified_closing_bound` for K=8 (3.4 u/s at reference
+    defaults) — a geometry-derived certificate that uncovered pairs can
+    neither reach contact nor be owed more than 1% of the plateau magnet
+    force within the doubled window.  The probe scalar is fetched LAZILY
+    at the next chunk boundary, so the host round-trip (~24 ms on the
+    relay) overlaps the chunk's own compute instead of serializing it;
+    detection latency is therefore one chunk, against a margin stated for
+    worst-case closing over 8 steps and measured 2.7-3.2 u/s in steady
+    phototaxis (10k) vs 20+ during transients.
+
+    The trajectory semantics are the established chunk-boundary contract
+    (chunk splits reproduce bit-for-bit; K only changes float summation
+    order through slot assignment, never the pair set, while the margin
+    holds).  Returned runner matches ``run_chunk(state, n_steps,
+    seg_aligned=False)``; chunks that cannot take the segment schedule
+    (unaligned entry, short/ragged chunks) run the base K=4 path.
+    ``runner.live["k"]`` / ``runner.last_probe`` expose the live cadence
+    and last measured bound for tests and telemetry."""
+    import numpy as np
+
+    base = params.validate()
+    p4 = base.replace(slot_rebuild_steps=4)
+    p8 = base.replace(slot_rebuild_steps=8)
+    seg = gate_seg(p4)
+    seg_ok = seg > 0 and gate_seg(p8) == seg
+    bound8 = certified_closing_bound(base, 8)
+    seg_ok = seg_ok and bound8 > 0.0
+    runners: dict = {}
+    probes: dict = {}
+    live = {"k": 4}
+
+    def get_runner(k):
+        if k not in runners:
+            runners[k] = make_run_chunk_table(p4 if k == 4 else p8)
+        return runners[k]
+
+    def get_probe(k):
+        if k not in probes:
+            probes[k] = make_probe_chunk(p4 if k == 4 else p8)
+        return probes[k]
+
+    def runner(state: SimState, n_steps: int, seg_aligned: bool = False):
+        if (
+            not seg_ok
+            or not seg_aligned
+            or n_steps < seg
+            or n_steps % seg
+        ):
+            return get_runner(4)(state, n_steps, seg_aligned)
+        if runner._pending is not None:
+            # the PREVIOUS chunk's probe: long since computed on device, so
+            # this fetch overlaps that chunk's remaining compute instead of
+            # inserting a synchronous round-trip per chunk
+            pm = float(np.asarray(jax.device_get(runner._pending)))
+            runner.last_probe = pm
+            live["k"] = 8 if pm <= bound8 else 4
+        state, runner._pending = get_probe(live["k"])(state)
+        rest = n_steps - seg
+        if rest:
+            state = get_runner(live["k"])(state, rest, True)
+        return state
+
+    runner.live = live
+    runner.last_probe = None
+    runner._pending = None
+    runner.path_info = {"adaptive": True, "gate_seg": seg, "bound8": bound8}
+    return runner
+
+
 def make_run_chunk_table_batched(params: SimParams):
     """Batched (scene-axis) table-resident loop for sweeps / multi-chip dp.
 

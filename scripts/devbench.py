@@ -65,6 +65,15 @@ def main():
     state = run(sim.state, STEPS, aligned)
     _sync(state)
     print(f"warmup+compile: {time.perf_counter() - t0:.1f} s")
+    if aligned and params.validate().adaptive_rebuild():
+        # settle the speed-certified cadence (transient probe -> steady
+        # probe -> certified-K compile) so the timed calls measure the
+        # steady state; see bench.py
+        for _ in range(2):
+            state = run(state, STEPS, aligned)
+            _sync(state)
+        print(f"adaptive cadence settled: k={run.live['k']} "
+              f"(probe {run.last_probe:.2f} u/s)")
 
     best = float("inf")
     for i in range(CALLS):

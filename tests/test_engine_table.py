@@ -557,3 +557,106 @@ def test_undersized_grid_rejected():
         Simulation(p.replace(grid_dim=0))
     finally:
         os.environ.pop("PBOT_MEGA", None)
+
+
+def test_adaptive_rebuild_cadence():
+    """Speed-certified adaptive rebuild (slot_rebuild_steps = -1 auto):
+
+    * the auto gate itself: adaptive only on large tables,
+    * a calm steady-state scenario certifies K=8 (the FIRST probe sees the
+      jittered-lattice relaxation transient and correctly withholds
+      certification; the second certifies), and the adaptive output is
+      BITWISE the manual composition of its pieces,
+    * a violent scenario (random ±4 u/s velocities — local neighborhood
+      Δv far above the certificate) degrades to K=4 and its output is
+      BITWISE the pure-K4 composition with the same chunk boundaries,
+    * the probe itself orders the two scenarios correctly.
+    """
+    from particlerobotsimulations_tpu.engine_table import (
+        certified_closing_bound,
+        make_adaptive_run_chunk,
+        make_probe_chunk,
+    )
+    from particlerobotsimulations_tpu.state import active_mask
+
+    p = params_(n_cells=128, grid_dim=16)  # slot_rebuild_steps default -1
+    assert p.validate().resolved_slot_rebuild_steps() == 4
+    assert not p.validate().adaptive_rebuild()  # small table: base path
+    assert p.replace(n_cells=200_000).validate().adaptive_rebuild()
+    bound8 = certified_closing_bound(p.validate(), 8)
+    assert 2.0 < bound8 < 5.0  # ~3.4 at reference defaults
+
+    state0 = jitter(Simulation(p).state)
+    copy = lambda s: jax.tree.map(jnp.copy, s)
+
+    # --- calm: transient withheld, steady state certifies K=8 ----------
+    # (probe fetches are DEFERRED one chunk so the host sync overlaps
+    # compute: chunk 1 probes the relaxation transient; chunk 2 acts on
+    # it and probes steady state; chunk 3 acts on that and runs K=8)
+    adaptive = make_adaptive_run_chunk(p)
+    c1 = adaptive(copy(state0), 200, True)    # probe-only chunk
+    c2 = adaptive(copy(c1), 200, True)        # acts on transient -> k=4
+    transient_pm = adaptive.last_probe
+    assert adaptive.live["k"] == 4 and transient_pm > bound8
+    out = adaptive(copy(c2), 400, True)       # acts on steady -> k=8
+    assert adaptive.live["k"] == 8, (transient_pm, adaptive.last_probe)
+    calm_pm = adaptive.last_probe
+    assert calm_pm <= bound8
+    # bitwise vs the manual composition of the same pieces
+    p4, p8 = p.replace(slot_rebuild_steps=4), p.replace(slot_rebuild_steps=8)
+    s1, _ = make_probe_chunk(p4)(copy(state0))       # chunk 1 == probe only
+    np.testing.assert_array_equal(np.asarray(c1.pos), np.asarray(s1.pos))
+    s2, _ = make_probe_chunk(p4)(copy(c1))           # chunk 2 (still k=4)
+    np.testing.assert_array_equal(np.asarray(c2.pos), np.asarray(s2.pos))
+    s3, _ = make_probe_chunk(p8)(copy(c2))           # chunk 3 probes at k=8
+    want = make_run_chunk_table(p8)(s3, 200, True)   # certified rest at k=8
+    np.testing.assert_array_equal(np.asarray(out.pos), np.asarray(want.pos))
+    np.testing.assert_array_equal(np.asarray(out.vel), np.asarray(want.vel))
+    assert np.isfinite(np.asarray(out.pos[: p.n_cells])).all()
+
+    # --- violent: degrades to (stays at) K=4 ---------------------------
+    mask = active_mask(p.validate(), state0.pos.shape[0])
+    wild = jax.random.uniform(
+        jax.random.key(7), state0.vel.shape, minval=-4.0, maxval=4.0
+    )
+    state_v = state0._replace(vel=jnp.where(mask[:, None], wild, 0.0))
+    adaptive_v = make_adaptive_run_chunk(p)
+    v1 = adaptive_v(copy(state_v), 400, True)
+    out_v = adaptive_v(copy(v1), 400, True)   # acts on the violent probe
+    assert adaptive_v.live["k"] == 4
+    violent_pm = adaptive_v.last_probe
+    assert violent_pm > bound8
+    assert violent_pm > calm_pm
+    s1v, _ = make_probe_chunk(p4)(copy(state_v))
+    want_v = make_run_chunk_table(p4)(s1v, 200, True)
+    np.testing.assert_array_equal(np.asarray(v1.pos), np.asarray(want_v.pos))
+    assert np.isfinite(np.asarray(out_v.pos[: p.n_cells])).all()
+
+    # unaligned / ragged chunks fall back to the base K=4 production path
+    out_r = adaptive_v(copy(state_v), 40, False)
+    ref_r = make_run_chunk_table(p.replace(slot_rebuild_steps=4))(
+        copy(state_v), 40, False
+    )
+    np.testing.assert_array_equal(np.asarray(out_r.pos), np.asarray(ref_r.pos))
+
+
+def test_neighbor_rel_speed_bound_dominates_pairs():
+    """The probe must upper-bound the true max pair closing speed: place
+    two bots in adjacent cells closing head-on at a known rate and check
+    the bound covers it (and is exact for this two-bot case)."""
+    from particlerobotsimulations_tpu.engine_table import (
+        enter_table,
+        neighbor_rel_speed_bound,
+    )
+
+    p = params_(n_cells=2, config=Config.LINE, grid_dim=16).validate()
+    sim = Simulation(p)
+    st = sim.state
+    v = jnp.zeros_like(st.vel)
+    v = v.at[0].set(jnp.asarray([0.7, 0.0])).at[1].set(
+        jnp.asarray([-0.7, 0.0])
+    )
+    ts = enter_table(p, st._replace(vel=v))
+    pm = float(neighbor_rel_speed_bound(p, ts.fields))
+    # true closing speed 1.4; envelope is exact here
+    assert pm == pytest.approx(1.4, abs=1e-6)

@@ -11,6 +11,10 @@ JSON + plots + a markdown table for docs/RESULTS.md.
 
 Usage:  python scripts/parity_report.py [--seeds 8] [--quick]
         (--quick shortens horizons ~10x for a smoke run)
+        python scripts/parity_report.py --from-json docs/parity/parity.json
+        (recompute anchors/table/plots from saved measurements — valid
+        whenever the intervening engine changes are trajectory-identical
+        at the scenario scales, e.g. bitwise-proved kernel diets)
 """
 
 from __future__ import annotations
@@ -42,15 +46,24 @@ def main():
     ap.add_argument("--seeds", type=int, default=8)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", default="docs/parity")
+    ap.add_argument("--from-json", default=None, metavar="PATH",
+                    help="recompute anchors/table/plots from a saved "
+                         "parity.json instead of re-running the sims")
     args = ap.parse_args()
     seeds = list(range(args.seeds))
     scale = 0.1 if args.quick else 1.0
     os.makedirs(args.out, exist_ok=True)
 
-    results = {}
-
     def cfg(name):
         return load_cfg(os.path.join(EXAMPLES, name))
+
+    if args.from_json:
+        with open(args.from_json) as f:
+            results = json.load(f)
+        _finish(results, cfg("example.cfg"), args)
+        return
+
+    results = {}
 
     # 1. phototaxis (example.cfg, 300 bots, 7200 s)
     p = cfg("example.cfg")
@@ -125,7 +138,11 @@ def main():
     }
     print("transport:", results["transport"], flush=True)
 
-    results["anchors"] = _anchors(results, cfg("example.cfg"))
+    _finish(results, cfg("example.cfg"), args)
+
+
+def _finish(results, p, args):
+    results["anchors"] = _anchors(results, p)
     for a in results["anchors"].values():
         print(f"anchor {a['name']}: measured {a['measured']:.3f} "
               f"{a['unit']} vs expected {a['expected']:.2f} ± {a['tol']:.2f} "

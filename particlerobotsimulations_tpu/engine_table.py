@@ -536,7 +536,7 @@ def _make_mega_glue(params: SimParams):
     return mega_pack, mega_unpack, incremental_packed
 
 
-def make_table_step_parts(params: SimParams):
+def make_table_step_parts(params: SimParams, phase_fn=None):
     """(step_pre, step_post): the physics step split around the rebuild.
 
     ``step_pre`` runs dead injection, centroid ring, phase, radius and
@@ -546,7 +546,15 @@ def make_table_step_parts(params: SimParams):
     while the batched loop hoists the rebuild OUT of ``vmap`` so its
     incremental-vs-exact ``lax.cond`` keeps a scalar predicate (a batched
     predicate decays to a select that runs the expensive exact fallback
-    for every scene every rebuild)."""
+    for every scene every rebuild).
+
+    ``phase_fn`` (optional) replaces the phase-gate body: called as
+    ``phase_fn(fields, val_mask, key) -> new phase plane`` inside the
+    gated branch.  The packed scene-tiling sweep (parallel/packed.py)
+    uses it to run the phase law per SCENE (per-row tile-local light
+    distance + per-scene min reduction) while every other op — force
+    kernel, rebuild, integrate — is the untouched single-scene path.
+    ``None`` compiles the exact same program as before the hook existed."""
     params = params.validate()
     dt = params.timestep
     g, cap = params.resolved_grid_dim(), params.cell_capacity
@@ -608,6 +616,8 @@ def make_table_step_parts(params: SimParams):
         if params.control == Control.LIGHT_WAVE and phase_gate is not False:
 
             def do_phase():
+                if phase_fn is not None:
+                    return phase_fn(f, val, jax.random.fold_in(step_key, 1))
                 pos_t = jnp.stack([f["px"], f["py"]], axis=-1)
                 return update_phase(
                     params, pos_t, f["phase"], val,
@@ -665,10 +675,10 @@ def make_table_step_parts(params: SimParams):
     return step_pre, step_post
 
 
-def make_table_step(params: SimParams):
+def make_table_step(params: SimParams, phase_fn=None):
     """One physics step on a TableState; op order == engine.make_step."""
     params = params.validate()
-    step_pre, step_post = make_table_step_parts(params)
+    step_pre, step_post = make_table_step_parts(params, phase_fn)
 
     def step(
         ts: TableState,
@@ -702,7 +712,7 @@ def make_table_step(params: SimParams):
     return step
 
 
-def make_run_chunk_table(params: SimParams):
+def make_run_chunk_table(params: SimParams, phase_fn=None):
     """Drop-in replacement for engine.make_run_chunk on the PALLAS backend:
     ``run_chunk(state, n_steps, seg_aligned=False) -> state`` with
     table-resident stepping.
@@ -715,10 +725,15 @@ def make_run_chunk_table(params: SimParams):
     semantics are bit-identical (non-seg-multiple steps can never fire a
     gate) but the measured ~6 µs/step cond-presence cost at 10k bots
     amortizes to 1/200.  Callers must pass True only when the entry step
-    really is seg-aligned (Simulation.run checks host-side)."""
+    really is seg-aligned (Simulation.run checks host-side).
+
+    ``phase_fn`` is the packed-sweep phase hook (see
+    make_table_step_parts); it only ever runs inside gated step
+    instances, so the megakernel span path and the deferred-rebuild
+    machinery are untouched by it."""
     params = params.validate()
-    step = make_table_step(params)
-    step_pre_f, step_post_f = make_table_step_parts(params)
+    step = make_table_step(params, phase_fn)
+    step_pre_f, step_post_f = make_table_step_parts(params, phase_fn)
     k = max(1, params.resolved_slot_rebuild_steps())
     seg = gate_seg(params)
 
@@ -1026,7 +1041,7 @@ def neighbor_rel_speed_bound(params: SimParams, fields: dict) -> jax.Array:
     return jnp.max(jnp.sqrt(dvs[0] * dvs[0] + dvs[1] * dvs[1]))
 
 
-def make_probe_chunk(params: SimParams):
+def make_probe_chunk(params: SimParams, phase_fn=None):
     """``probe_chunk(state) -> (state_after_seg, probe_max)``: advance
     exactly one gate segment (``gate_seg(params)`` steps) on the SAME
     segment schedule the production chunk uses (interval conds traced on
@@ -1037,7 +1052,7 @@ def make_probe_chunk(params: SimParams):
     window).  The adaptive driver opens every seg-aligned chunk with this;
     callers must enter on a seg boundary (the driver guarantees it)."""
     params = params.validate()
-    step = make_table_step(params)
+    step = make_table_step(params, phase_fn)
     k = max(1, params.resolved_slot_rebuild_steps())
     seg = gate_seg(params)
     if seg <= 0 or seg % k:
@@ -1091,7 +1106,7 @@ def make_probe_chunk(params: SimParams):
     return probe_chunk
 
 
-def make_adaptive_run_chunk(params: SimParams):
+def make_adaptive_run_chunk(params: SimParams, phase_fn=None):
     """Speed-certified adaptive rebuild cadence — the ``slot_rebuild_steps
     = -1`` auto mode on large tables (config.adaptive_rebuild).
 
@@ -1133,12 +1148,14 @@ def make_adaptive_run_chunk(params: SimParams):
 
     def get_runner(k):
         if k not in runners:
-            runners[k] = make_run_chunk_table(p4 if k == 4 else p8)
+            runners[k] = make_run_chunk_table(
+                p4 if k == 4 else p8, phase_fn=phase_fn
+            )
         return runners[k]
 
     def get_probe(k):
         if k not in probes:
-            probes[k] = make_probe_chunk(p4 if k == 4 else p8)
+            probes[k] = make_probe_chunk(p4 if k == 4 else p8, phase_fn)
         return probes[k]
 
     def runner(state: SimState, n_steps: int, seg_aligned: bool = False):

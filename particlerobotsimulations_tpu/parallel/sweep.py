@@ -95,10 +95,10 @@ def choose_sweep_strategy(
     for A/B runs.
     """
     forced = os.environ.get("PBOT_SWEEP_STRATEGY", "")
-    if forced in ("sequential", "batched"):
-        if mesh is not None and forced == "sequential":
+    if forced in ("sequential", "batched", "packed"):
+        if mesh is not None and forced != "batched":
             raise ValueError(
-                "PBOT_SWEEP_STRATEGY=sequential is incompatible with a "
+                f"PBOT_SWEEP_STRATEGY={forced} is incompatible with a "
                 "device mesh (the scene batch is the sharding axis)"
             )
         return forced
@@ -108,7 +108,28 @@ def choose_sweep_strategy(
         return "sequential"
     from ..config import ForceBackend
     from ..ops.megakernel import mega_eligible
+    from .packed import packed_eligible
 
+    # Scene-tiling (packed) wins exactly where BOTH single-device
+    # strategies are floored by per-scene fixed costs: the DENSE and
+    # megakernel bands (small scenes), with enough scenes to amortize the
+    # isolation-forced table sparsity (measured crossover in
+    # docs/RESULTS.md: 300x64 packed 35.2M vs batched 27.6M; 1000x16
+    # 50.9M vs sequential 50.0M; but 300x32 batched wins 35.1 vs 31.5 and
+    # 2000x16 — the regular-table band — batched wins 59.3 vs 57.6).
+    # Packed always runs the PALLAS table loop on the union, so AUTO only
+    # picks it when the caller hasn't forced a different backend.
+    small_scene = params.resolved_backend() == ForceBackend.DENSE or (
+        params.resolved_backend() == ForceBackend.PALLAS
+        and mega_eligible(params)
+    )
+    if (
+        packed_eligible(params)
+        and params.force_backend in (ForceBackend.AUTO, ForceBackend.PALLAS)
+        and small_scene
+        and n_scenes * params.n_cells >= 16384
+    ):
+        return "packed"
     if (
         params.resolved_backend() == ForceBackend.PALLAS
         and mega_eligible(params)
@@ -187,16 +208,20 @@ def run_sweep(
     )
     if strategy is None:
         strategy = choose_sweep_strategy(params, len(seeds), mesh)
-    elif strategy not in ("sequential", "batched"):
+    elif strategy not in ("sequential", "batched", "packed"):
         raise ValueError(f"unknown sweep strategy: {strategy!r}")
-    elif strategy == "sequential" and mesh is not None:
+    elif strategy != "batched" and mesh is not None:
         # same incompatibility the env-knob path rejects: the scene batch
-        # IS the sharding axis, so a sequential run would silently drop
-        # the requested multi-device sharding
+        # IS the sharding axis, so a sequential/packed run would silently
+        # drop the requested multi-device sharding
         raise ValueError(
-            "strategy='sequential' is incompatible with a device mesh "
+            f"strategy={strategy!r} is incompatible with a device mesh "
             "(the scene batch is the sharding axis)"
         )
+    if strategy == "packed":
+        from .packed import run_sweep_packed
+
+        return run_sweep_packed(params, seeds, n_steps, record_every)
     if strategy == "sequential":
         return _run_sweep_sequential(params, seeds, n_steps, record_every, seg)
 

@@ -33,6 +33,9 @@ import numpy as np
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
 ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 6000
 WORLD_HALF = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0  # 0 = auto-fit
+# trailing key=value SimParams overrides, same contract as devbench
+# (e.g. grid_dim=112 decomposes the packed-sweep union geometry)
+OVERRIDES = dict(a.split("=", 1) for a in sys.argv[4:])
 # comma-separated stage subset (each stage is its own remote compile —
 # a focused run saves ~minutes per skipped stage at large N)
 STAGES = set(
@@ -87,7 +90,12 @@ def main():
     params = SimParams(
         n_cells=N, n_dead=0, seed=7, config=Config.HEX,
         light_x=-20.0, light_y=0.0, world_half=WORLD_HALF,
-    ).validate()
+    )
+    if OVERRIDES:
+        from _overrides import parse_overrides
+
+        params = parse_overrides(params, OVERRIDES)
+    params = params.validate()
     sim = Simulation(params)
     params = sim.params  # world_half auto-fit resolution
     k = max(1, params.resolved_slot_rebuild_steps())

@@ -4,8 +4,9 @@ Times ``run_sweep`` itself (the shipped path, including per-seed host
 placement and centroid recording) for both strategies at each size, so the
 numbers ARE the policy `choose_sweep_strategy` encodes.
 
-Usage: python scripts/sweepbench.py [sizes_csv] [n_seeds] [steps]
+Usage: python scripts/sweepbench.py [sizes_csv] [n_seeds] [steps] [strategies_csv]
        python scripts/sweepbench.py 300,1000,4000 8 6000
+       python scripts/sweepbench.py 300 32 30000 batched,packed
 """
 
 from __future__ import annotations
@@ -18,6 +19,9 @@ import numpy as np
 SIZES = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "300,1000,4000").split(",")]
 SEEDS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 STEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 30000
+STRATS = tuple(
+    (sys.argv[4] if len(sys.argv) > 4 else "sequential,batched").split(",")
+)
 
 
 def main():
@@ -31,7 +35,7 @@ def main():
         )
         seeds = list(range(SEEDS))
         row = {}
-        for strat in ("sequential", "batched"):
+        for strat in STRATS:
             # record cadence = the scenario dump interval, exactly like a
             # real `cli sweep` run; warmup compiles, the second call is
             # timed (it still pays per-seed host placement — honest: every

@@ -62,12 +62,23 @@ def test_sweep_strategy_choice(monkeypatch):
     ).validate()
     assert mega_eligible(p_mega)
     assert choose_sweep_strategy(p_mega, 8, None) == "sequential"
-    # outside the band (bigger grid): batched
+    # outside the band (bigger grid): batched — packed only wins in the
+    # small-scene bands (measured crossover, docs/RESULTS.md), so the
+    # regular-table band never picks it even with a large union
     p_big = small_params(
         n_cells=4000, force_backend=ForceBackend.PALLAS
     ).validate()
     assert not mega_eligible(p_big)
     assert choose_sweep_strategy(p_big, 8, None) == "batched"
+    # small-scene band + large union: packed (unless packed-ineligible —
+    # dead-cell injection is per-scene state the tiled union cannot share)
+    assert choose_sweep_strategy(p_mega, 256, None) == "packed"
+    # packed-ineligible (dead-cell injection is per-scene state the tiled
+    # union cannot share): falls back to the mega band's sequential
+    assert (
+        choose_sweep_strategy(p_mega.replace(n_dead=3), 256, None)
+        == "sequential"
+    )
     # non-PALLAS backends: batched (chunk dispatch dominates sequential)
     p = small_params()
     assert choose_sweep_strategy(p, 8, None) == "batched"

@@ -170,7 +170,12 @@ def pack_scenes(
     span_cells = int(
         np.ceil((packed_pos.max(axis=0) - packed_pos.min(axis=0)).max() / cutoff)
     )
-    g = span_cells + 2 * EDGE_MARGIN + 2 * _SEP_CELLS + 8
+    # growth headroom scales with the per-scene extent: the OUTERMOST
+    # scenes expand outward by half*(growth-1) each side (common-mode
+    # drift costs nothing — the table is bbox-anchored), + 4 cells slack.
+    # _check_health re-verifies span-vs-grid at every record point.
+    grow_cells = int(math.ceil(2.0 * half * (growth - 1.0) / cutoff)) + 4
+    g = span_cells + 2 * EDGE_MARGIN + 2 * _SEP_CELLS + grow_cells
     g = int(math.ceil(g / 16.0)) * 16
 
     # world box: cover the union with drift + expansion headroom (the
@@ -188,48 +193,73 @@ def pack_scenes(
     return pp, state, origins, pitch
 
 
-def make_packed_phase(pp: SimParams, origins: np.ndarray):
+def make_packed_phase(pp: SimParams, origins: np.ndarray, pitch: float):
     """The per-scene phase law as an engine_table ``phase_fn``.
 
     Replicates the reference law (phase from min light distance over the
-    scene, particlebot_kernel_impl.cuh:286) per tile: scene assignment by
-    nearest origin in union-mean-centered coordinates, per-row local
-    positions, per-scene min via one-hot masked reduction."""
+    scene, particlebot_kernel_impl.cuh:286) per tile:
+
+    * scene assignment is the CLOSED-FORM tile decode — round the
+      union-mean-centered position to the regular origin grid (O(rows)
+      arithmetic, no (rows, B) distance matrix).  Exact wherever the
+      assignment-margin health check holds (|pos - u - org_c| < pitch/2
+      per axis, verified at every record point by ``_check_health``);
+      invalid rows decode to an arbitrary clipped tile and are masked
+      out downstream.
+    * per-scene min distance + broadcast-back run in 16-scene column
+      chunks, so peak memory is (rows, 16) regardless of B (a 256-scene
+      union would otherwise materialize multiple (rows, B) ~GB-scale
+      intermediates on every phase gate)."""
     f32 = jnp.float32
-    org = jnp.asarray(origins, f32)                  # (B, 2)
-    org_c = org - org.mean(axis=0)
-    B = org.shape[0]
+    org = np.asarray(origins, np.float32)            # (B, 2)
+    B = len(org)
+    bx, by = _tile_grid(B)
+    mox, moy = (float(m) for m in org.mean(axis=0))
     iota = jnp.arange(B, dtype=jnp.int32)
+    inv_p = f32(1.0 / pitch)
 
     def phase_fn(f, val, key):
-        pos = jnp.stack([f["px"], f["py"]], axis=-1)  # (rows, 2)
+        px, py = f["px"], f["py"]
         w = val.astype(f32)
         wsum = jnp.maximum(jnp.sum(w), f32(1.0))
-        union_mean = jnp.sum(pos * w[:, None], axis=0) / wsum
-        rel = pos - union_mean                        # common-mode-drift-free
-        d2 = jnp.sum(
-            (rel[:, None, :] - org_c[None, :, :]) ** 2, axis=-1
-        )                                             # (rows, B)
-        sid = jnp.argmin(d2, axis=1)
-        onehot = sid[:, None] == iota[None, :]        # exclusive (rows, B)
-        oh = onehot.astype(f32)
-        row_origin = oh @ org                         # (rows, 2) — matmul,
-        pos_local = pos - row_origin                  # no gather on TPU
-        diff = pos_local - jnp.array([pp.light_x, pp.light_y], f32)
-        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
-        masked = jnp.where(onehot & (val[:, None]), dist[:, None], jnp.inf)
-        min_d_b = jnp.min(masked, axis=0)             # (B,)
-        min_d_rows = jnp.sum(
-            oh * jnp.where(jnp.isfinite(min_d_b), min_d_b, 0.0)[None, :],
-            axis=1,
-        )
+        ux = jnp.sum(px * w) / wsum                   # union bot-mean:
+        uy = jnp.sum(py * w) / wsum                   # common-mode-drift-free
+        # tile decode: pos - u compares to org_c = org - mean(org), i.e.
+        # pos - u + mean(org) ~ org_i = ((ix - (bx-1)/2) pitch, ...)
+        ix = jnp.clip(
+            jnp.round((px - ux + f32(mox)) * inv_p + f32((bx - 1) / 2.0)),
+            0, bx - 1,
+        ).astype(jnp.int32)
+        iy = jnp.clip(
+            jnp.round((py - uy + f32(moy)) * inv_p + f32((by - 1) / 2.0)),
+            0, by - 1,
+        ).astype(jnp.int32)
+        sid = jnp.minimum(iy * bx + ix, B - 1)
+        ox = (ix.astype(f32) - f32((bx - 1) / 2.0)) * f32(pitch)
+        oy = (iy.astype(f32) - f32((by - 1) / 2.0)) * f32(pitch)
+        lx, ly = px - ox, py - oy                     # scene-local
+        dx = lx - f32(pp.light_x)
+        dy = ly - f32(pp.light_y)
+        dist = jnp.sqrt(dx * dx + dy * dy)
+        min_rows = jnp.zeros_like(dist)
+        for c0 in range(0, B, 16):
+            ids = iota[c0:c0 + 16]                    # static 16-col chunk
+            m = (sid[:, None] == ids[None, :]) & val[:, None]
+            dmin = jnp.min(
+                jnp.where(m, dist[:, None], jnp.inf), axis=0
+            )                                         # (chunk,) scene mins
+            dmin = jnp.where(jnp.isfinite(dmin), dmin, 0.0)
+            min_rows = min_rows + jnp.sum(
+                m.astype(f32) * dmin[None, :], axis=1
+            )
+        pos_local = jnp.stack([lx, ly], axis=-1)
         return update_phase(pp, pos_local, f["phase"], val, key,
-                            min_d=min_d_rows)
+                            min_d=min_rows)
 
     return phase_fn
 
 
-def _packed_runner(pp: SimParams, origins: np.ndarray):
+def _packed_runner(pp: SimParams, origins: np.ndarray, pitch: float):
     """Cached packed-union chunk runner.
 
     Routed through engine._RUN_CHUNK_CACHE (same bounded FIFO the
@@ -239,10 +269,10 @@ def _packed_runner(pp: SimParams, origins: np.ndarray):
     top of the standard (params, env-knob, platform) key."""
     from ..engine import _RUN_CHUNK_CACHE, _chunk_cache_key
 
-    key = _chunk_cache_key("packed", pp) + (origins.tobytes(),)
+    key = _chunk_cache_key("packed", pp) + (origins.tobytes(), pitch)
     run = _RUN_CHUNK_CACHE.get(key)
     if run is None:
-        phase_fn = make_packed_phase(pp, origins)
+        phase_fn = make_packed_phase(pp, origins, pitch)
         if pp.adaptive_rebuild():
             # the packed union is table-scale, so it gets the same speed
             # -certified K=4->8 cadence a single scene of that size would
@@ -270,7 +300,7 @@ def run_sweep_packed(
     params = resolve_params(params.validate())
     pp, state, origins, pitch = pack_scenes(params, seeds)
     record_every = record_every or params.dump_steps
-    run = _packed_runner(pp, origins)
+    run = _packed_runner(pp, origins, pitch)
     seg = gate_seg(pp)
     B, n = len(seeds), params.n_cells
     org = jnp.asarray(origins, jnp.float32)
@@ -296,7 +326,7 @@ def run_sweep_packed(
     # one host sync for the whole sweep (relay round-trips are ~24 ms)
     stacked = jax.device_get(jax.tree.map(lambda *xs: jnp.stack(xs), *recs))
     centroids, lo, hi = (np.asarray(x) for x in stacked)
-    _check_health(params, origins, pitch, lo, hi)
+    _check_health(params, pp, origins, pitch, centroids, lo, hi)
     return state, centroids
 
 
@@ -309,20 +339,31 @@ def unpack_positions(state: SimState, origins: np.ndarray, n: int):
 
 def _check_health(
     params: SimParams,
+    pp: SimParams,
     origins: np.ndarray,
     pitch: float,
+    centroids: np.ndarray,
     lo: np.ndarray,
     hi: np.ndarray,
 ) -> None:
     """Hard post-run checks for the packing invariants, evaluated at every
-    record point from the (T, B, 2) per-scene bounding-box history.
+    record point from the (T, B, 2) per-scene centroid and bounding-box
+    histories.
 
-    1. isolation: every scene stays within pitch/2 minus a neighbor window
-       of its origin (cross-scene pairs impossible throughout the run up to
-       the record cadence of this check);
+    1. isolation: pairwise scene box gaps exceed the force kernel's
+       pairing reach (cross-scene pairs impossible throughout the run up
+       to the record cadence of this check);
     2. wall fidelity: no scene's local extent reached where ITS OWN walls
        (scene world_half) would have clamped it — if they would, the packed
-       run is not equivalent to per-scene runs and must not be used."""
+       run is not equivalent to per-scene runs and must not be used;
+    3. scene-assignment margin: every scene's box stays within the open
+       pitch/2 Voronoi cell of its own origin in the union-mean-centered
+       frame, so the phase hook's closed-form tile decode was exact;
+    4. grid fit: the union span never exceeded the wrapped table's
+       anchoring budget (grid_dim - 2*EDGE_MARGIN cells) — past it, world
+       cells alias onto the same table cell and forces are silently wrong
+       (the same invariant Simulation._check_grid_fits guards for
+       single-scene runs)."""
     cutoff = params.cutoff()
     # isolation: pairwise Chebyshev gap between scene bounding boxes in
     # PACKED coordinates must exceed the force kernel's pairing reach
@@ -366,4 +407,38 @@ def _check_health(
             f"{ext[t, bad]:.2f} at record {t} reached the scene world box "
             f"±{scene_wh:g} (packed runs have no per-scene walls) — rerun "
             f"with strategy='sequential' or 'batched'"
+        )
+    # scene-assignment margin: the phase hook decodes scenes by rounding
+    # union-mean-centered positions to the origin grid — exact iff every
+    # bot stays within pitch/2 of its own origin per axis in that frame
+    u = (centroids + org).mean(axis=1)  # (T, 2) union bot-mean (equal n)
+    org_cc = np.asarray(origins) - np.asarray(origins).mean(axis=0)
+    dev = np.maximum(
+        np.abs(lo - u[:, None, :] - org_cc[None]),
+        np.abs(hi - u[:, None, :] - org_cc[None]),
+    ).max(axis=-1)  # (T, B)
+    if (dev >= 0.5 * pitch).any():
+        t, bad = np.unravel_index(int(np.argmax(dev)), dev.shape)
+        raise RuntimeError(
+            f"packed sweep scene-assignment margin violated: scene {bad} "
+            f"strays {dev[t, bad]:.2f} from its tile origin at record {t} "
+            f"(>= pitch/2 = {0.5 * pitch:.2f}); the per-scene phase law may "
+            f"have mis-assigned bots — rerun with strategy='sequential' or "
+            f"'batched'"
+        )
+    # grid fit: union span vs the wrapped table's anchoring budget
+    from ..ops.table_rebuild import EDGE_MARGIN
+
+    g = pp.resolved_grid_dim()
+    span = (hi.max(axis=1) - lo.min(axis=1)).max(axis=-1)  # (T,)
+    span_cells = np.ceil(span / cutoff)
+    budget = g - 2 * EDGE_MARGIN
+    if (span_cells > budget).any():
+        t = int(np.argmax(span_cells))
+        raise RuntimeError(
+            f"packed sweep grid fit violated: union span {span[t]:.2f} "
+            f"(= {int(span_cells[t])} cells) at record {t} exceeds the "
+            f"wrapped table budget {budget} cells (grid_dim {g} - "
+            f"2*EDGE_MARGIN) — world cells would alias; rerun with "
+            f"strategy='sequential' or 'batched'"
         )

@@ -80,6 +80,22 @@ def default_mesh(axis: str = "data") -> Mesh:
     return Mesh(devs.reshape(-1), (axis,))
 
 
+def _platform_is_tpu() -> bool:
+    """Whether the compute platform is the TPU (or the axon relay to one).
+
+    The packed strategy's measured crossover is TPU-only: on CPU its
+    pallas table loop runs in interpret mode — orders of magnitude slower
+    than the DENSE vmap batch it would replace — so AUTO must never pick
+    it there.  Reads ``jax.config.jax_platforms`` first (no backend-init
+    side effect, same rationale as engine._chunk_cache_key); only falls
+    back to ``jax.default_backend()`` when the platform is auto-detected.
+    """
+    plats = jax.config.jax_platforms
+    if plats:
+        return plats.split(",")[0] in ("tpu", "axon")
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def choose_sweep_strategy(
     params: SimParams, n_scenes: int, mesh: Mesh | None
 ) -> str:
@@ -115,10 +131,12 @@ def choose_sweep_strategy(
     # megakernel bands (small scenes), with enough scenes to amortize the
     # isolation-forced table sparsity (measured crossover in
     # docs/RESULTS.md: 300x64 packed 35.2M vs batched 27.6M; 1000x16
-    # 50.9M vs sequential 50.0M; but 300x32 batched wins 35.1 vs 31.5 and
-    # 2000x16 — the regular-table band — batched wins 59.3 vs 57.6).
-    # Packed always runs the PALLAS table loop on the union, so AUTO only
-    # picks it when the caller hasn't forced a different backend.
+    # 50.9M vs sequential 50.0M; but 300x32 = a 9600-bot union loses to
+    # batched 31.5 vs 35.1, and 2000x16 — the regular-table band — loses
+    # 57.6 vs 59.3).  The union threshold 12288 splits the measured
+    # 9600-loss / 16000-win gap.  Packed always runs the PALLAS table
+    # loop on the union, so AUTO only picks it on the TPU platform and
+    # when the caller hasn't forced a different backend.
     small_scene = params.resolved_backend() == ForceBackend.DENSE or (
         params.resolved_backend() == ForceBackend.PALLAS
         and mega_eligible(params)
@@ -127,7 +145,8 @@ def choose_sweep_strategy(
         packed_eligible(params)
         and params.force_backend in (ForceBackend.AUTO, ForceBackend.PALLAS)
         and small_scene
-        and n_scenes * params.n_cells >= 16384
+        and n_scenes * params.n_cells >= 12288
+        and _platform_is_tpu()
     ):
         return "packed"
     if (

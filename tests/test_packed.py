@@ -58,8 +58,10 @@ def test_packed_matches_single_short():
     update, so the per-scene min-distance law is exercised)."""
     params = scene_params()
     n, steps = 64, 16
-    pp, state, origins, _ = pack_scenes(params, [0, 1], jitter_scale=JIT)
-    run = make_run_chunk_table(pp, phase_fn=make_packed_phase(pp, origins))
+    pp, state, origins, pitch = pack_scenes(params, [0, 1], jitter_scale=JIT)
+    run = make_run_chunk_table(
+        pp, phase_fn=make_packed_phase(pp, origins, pitch)
+    )
     local = unpack_positions(run(state, steps, False), origins, n)
     for i, s in enumerate([0, 1]):
         p_eff, st1 = jittered_single(params, s, n)
@@ -91,9 +93,9 @@ def test_packed_via_run_sweep_strategy():
 def test_scene_assignment_and_min_d():
     """The phase hook's per-scene min reduction against a numpy oracle."""
     params = scene_params()
-    pp, state, origins, _ = pack_scenes(params, [0, 1, 2])
+    pp, state, origins, pitch = pack_scenes(params, [0, 1, 2])
     B, n = 3, params.n_cells
-    phase_fn = make_packed_phase(pp, origins)
+    phase_fn = make_packed_phase(pp, origins, pitch)
     # synthetic planes: real packed positions, valid only for bot rows
     pos = np.asarray(state.pos)
     rows = pos.shape[0]
@@ -116,8 +118,15 @@ def test_scene_assignment_and_min_d():
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
 
-def test_eligibility_and_strategy_choice():
+def test_eligibility_and_strategy_choice(monkeypatch):
+    from particlerobotsimulations_tpu.parallel import sweep as sweep_mod
+
+    # the packed arm is TPU-gated; pretend we are on the TPU (and check
+    # the CPU default never picks packed)
+    monkeypatch.delenv("PBOT_SWEEP_STRATEGY", raising=False)
     p = scene_params()
+    assert choose_sweep_strategy(p, 256, None) != "packed"  # CPU platform
+    monkeypatch.setattr(sweep_mod, "_platform_is_tpu", lambda: True)
     assert packed_eligible(p)
     assert not packed_eligible(p.replace(n_dead=3))
     assert not packed_eligible(p.replace(n_dead=-1))       # payload
@@ -156,8 +165,8 @@ def test_packed_adaptive_runner_bitwise():
     )
 
     params = scene_params()
-    pp, state, origins, _ = pack_scenes(params, [0, 1], jitter_scale=JIT)
-    phase_fn = make_packed_phase(pp, origins)
+    pp, state, origins, pitch = pack_scenes(params, [0, 1], jitter_scale=JIT)
+    phase_fn = make_packed_phase(pp, origins, pitch)
     seg = gate_seg(pp)
     copy = lambda s: jax.tree.map(jnp.copy, s)
 
@@ -176,20 +185,25 @@ def test_health_check_raises():
     pp, state, origins, pitch = pack_scenes(params, [0, 1])
     n = params.n_cells
 
-    def boxes(pos):
+    def recs(pos):
+        # (T=1, B, 2) centroid + box histories, as run_sweep_packed
+        # records them
         p = pos[: 2 * n].reshape(2, n, 2)
-        # (T=1, B, 2) box history, as run_sweep_packed records it
-        return p.min(axis=1)[None], p.max(axis=1)[None]
+        return (
+            p.mean(axis=1)[None] - origins[None],
+            p.min(axis=1)[None],
+            p.max(axis=1)[None],
+        )
 
-    ok_lo, ok_hi = boxes(np.asarray(state.pos))
-    _check_health(params, origins, pitch, ok_lo, ok_hi)  # clean state passes
+    ok = recs(np.asarray(state.pos))
+    _check_health(params, pp, origins, pitch, *ok)  # clean state passes
 
     # isolation violation: teleport scene 1 onto scene 0's bots (box
     # overlap -> negative pairwise gap)
     bad = np.asarray(state.pos).copy()
     bad[n:2 * n] = bad[:n]
     with pytest.raises(RuntimeError, match="isolation"):
-        _check_health(params, origins, pitch, *boxes(bad))
+        _check_health(params, pp, origins, pitch, *recs(bad))
 
     # wall-fidelity violation: a scene spread past its own world box.
     # Teleport PERPENDICULAR to the tile axis (tiles are side-by-side in
@@ -198,10 +212,27 @@ def test_health_check_raises():
     far = np.asarray(state.pos).copy()
     far[0] = origins[0] + np.array([0.0, 70.0])  # scene box is +-64
     with pytest.raises(RuntimeError, match="wall fidelity"):
-        _check_health(params, origins, pitch * 100.0, *boxes(far))
+        _check_health(params, pp, origins, pitch * 100.0, *recs(far))
+
+    # scene-assignment margin: a bot past pitch/2 of its origin (but
+    # still inside walls and isolated) trips the Voronoi-cell check
+    near = np.asarray(state.pos).copy()
+    near[0] = origins[0] + np.array([0.0, 0.6 * pitch])
+    with pytest.raises(RuntimeError, match="assignment margin"):
+        _check_health(params, pp, origins, pitch, *recs(near))
+
+    # grid fit: a union span past the wrapped-table anchoring budget
+    g = pp.resolved_grid_dim()
+    wide = np.asarray(state.pos).copy()
+    wide[0] = origins[0] + np.array([0.0, (g + 1) * params.cutoff()])
+    with pytest.raises(RuntimeError, match="grid fit"):
+        _check_health(
+            params.replace(world_half=1e6), pp, origins, pitch * 1e6,
+            *recs(wide),
+        )
 
     # a violation only in an INTERMEDIATE record is still caught
-    lo2 = np.concatenate([boxes(far)[0], ok_lo])
-    hi2 = np.concatenate([boxes(far)[1], ok_hi])
+    v = recs(far)
+    two = tuple(np.concatenate([a, b]) for a, b in zip(v, ok))
     with pytest.raises(RuntimeError, match="record 0"):
-        _check_health(params, origins, pitch * 100.0, lo2, hi2)
+        _check_health(params, pp, origins, pitch * 100.0, *two)

@@ -51,11 +51,15 @@ def test_sweep_strategy_choice(monkeypatch):
     tables) where the vmapped span grid repeats per-scene kernel cost;
     batched everywhere else and always with a mesh; env knob forces."""
     from particlerobotsimulations_tpu.ops.megakernel import mega_eligible
+    from particlerobotsimulations_tpu.parallel import sweep as sweep_mod
     from particlerobotsimulations_tpu.parallel.sweep import (
         choose_sweep_strategy,
     )
 
     monkeypatch.delenv("PBOT_SWEEP_STRATEGY", raising=False)
+    # the packed arm is TPU-gated (pallas interpret mode on CPU would be
+    # catastrophic); pretend we are on the TPU to pin the full policy
+    monkeypatch.setattr(sweep_mod, "_platform_is_tpu", lambda: True)
     # megakernel band (PALLAS, G=16): sequential
     p_mega = small_params(
         n_cells=128, force_backend=ForceBackend.PALLAS

@@ -41,7 +41,16 @@ def measure(n: int, steps: int = 60_000, calls: int = 2) -> float:
     run = make_run_chunk(params)
     seg = gate_seg(params.validate())
     aligned = seg > 0 and steps % seg == 0
-    state = run(sim.state, steps, aligned)
+    # settle the adaptive cadence before timing (same protocol as bench.py):
+    # chunk 1 probes the HEX relaxation transient (withholds K=8), chunk 2
+    # measures steady state, chunk 3 compiles + runs the certified K=8
+    # program — one warmup would leave the K=8 compile INSIDE a timed call
+    # and the gate would silently measure the K=4 path instead of what
+    # production runs
+    warmups = 3 if params.validate().adaptive_rebuild() else 1
+    state = sim.state
+    for _ in range(warmups):
+        state = run(state, steps, aligned)
     # relay gotcha: block_until_ready does not block — sync via device_get
     np.asarray(jax.device_get(state.step))
     best = float("inf")
